@@ -1,0 +1,199 @@
+"""Beam FEM correctness gates: closed-form Euler–Bernoulli solutions, dense
+cross-checks at the 1e-8 level, adjoint grad checks, and vmap batching."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openpystruct_tpu.fem import (
+    BeamScenario,
+    assemble_beam_system,
+    solve_beam,
+)
+
+E = 200e9
+A = 0.01
+
+
+def make_scenario(n, L, roller_tags=(), point=None, udl=0.0):
+    """roller_tags are 0-based node indices; point = (node_idx, Fy)."""
+    node_x = jnp.linspace(0.0, L, n)
+    roller = jnp.zeros(n, dtype=bool)
+    for t in roller_tags:
+        roller = roller.at[t].set(True)
+    loads = jnp.zeros(n)
+    if point is not None:
+        loads = loads.at[point[0]].set(point[1])
+    return BeamScenario(
+        node_x=node_x,
+        roller_mask=roller,
+        point_loads=loads,
+        udl=jnp.asarray(udl),
+    )
+
+
+def test_simply_supported_point_load():
+    """delta_mid = P L^3 / (48 E I); M_mid = P L / 4."""
+    n, L, I0, P = 101, 200.0, 0.5, -355857.0
+    sc = make_scenario(n, L, roller_tags=(n - 1,), point=(n // 2, P))
+    sol = solve_beam(jnp.full(n - 1, I0), sc, E, A)
+    delta_exact = P * L**3 / (48 * E * I0)
+    np.testing.assert_allclose(sol.deflections[n // 2], delta_exact, rtol=1e-8)
+    # end rotations: theta = +/- P L^2 / (16 E I)
+    theta_exact = P * L**2 / (16 * E * I0)
+    np.testing.assert_allclose(sol.rotations[0], theta_exact, rtol=1e-8)
+    np.testing.assert_allclose(sol.rotations[-1], -theta_exact, rtol=1e-8)
+    # bending moment at midspan: |M| = |P| L / 4 (element just left of mid)
+    np.testing.assert_allclose(
+        abs(sol.bending_moments[n // 2]), abs(P) * L / 4, rtol=1e-8
+    )
+    # shear magnitude |P|/2 on both halves
+    np.testing.assert_allclose(
+        abs(sol.shear_forces[0]), abs(P) / 2, rtol=1e-8
+    )
+
+
+def test_simply_supported_udl():
+    """delta_mid = 5 w L^4 / (384 E I); |M_mid| = w L^2 / 8."""
+    n, L, I0, w = 101, 200.0, 0.5, -5000.0
+    sc = make_scenario(n, L, roller_tags=(n - 1,), udl=w)
+    sol = solve_beam(jnp.full(n - 1, I0), sc, E, A)
+    delta_exact = 5 * w * L**4 / (384 * E * I0)
+    np.testing.assert_allclose(sol.deflections[n // 2], delta_exact, rtol=1e-8)
+    # moment at element starting at midspan ~ w L^2 / 8
+    np.testing.assert_allclose(
+        abs(sol.bending_moments[n // 2]), abs(w) * L**2 / 8, rtol=1e-3
+    )
+    # reaction shear at the ends ~ |w| L / 2
+    np.testing.assert_allclose(
+        abs(sol.shear_forces[0]), abs(w) * L / 2, rtol=1e-2
+    )
+
+
+def test_axial_field_is_zero():
+    n, L = 51, 100.0
+    sc = make_scenario(n, L, roller_tags=(25, n - 1), point=(10, -1e5), udl=-1e3)
+    sol = solve_beam(jnp.full(n - 1, 0.5), sc, E, A)
+    np.testing.assert_allclose(sol.displacements[:, 0], 0.0, atol=1e-12)
+    np.testing.assert_allclose(sol.end_forces[:, 0], 0.0, atol=1e-6)
+
+
+def dense_solve(I, sc, E, A):
+    """Independent dense reference solve of the assembled system."""
+    diag, upper, f = assemble_beam_system(I, sc, E, A)
+    n = diag.shape[0]
+    K = np.zeros((3 * n, 3 * n))
+    for i in range(n):
+        K[3 * i : 3 * i + 3, 3 * i : 3 * i + 3] = diag[i]
+    for i in range(n - 1):
+        K[3 * i : 3 * i + 3, 3 * i + 3 : 3 * i + 6] = upper[i]
+        K[3 * i + 3 : 3 * i + 6, 3 * i : 3 * i + 3] = np.asarray(upper[i]).T
+    u = np.linalg.solve(K, np.asarray(f).reshape(-1)).reshape(n, 3)
+    return u
+
+
+def test_variable_I_matches_dense():
+    """Randomized I field + multi-roller multi-load vs dense solve, 1e-8."""
+    n, L = 101, 200.0
+    key = jax.random.PRNGKey(0)
+    I = jnp.exp(jax.random.normal(key, (n - 1,)) * 0.5) * 0.5
+    sc = make_scenario(n, L, roller_tags=(9, 29, 69, 84, 99), udl=-1000.0)
+    loads = jnp.zeros(n).at[jnp.array([15, 44, 91])].set(
+        jnp.array([-3e5, -1e5, -2.5e5])
+    )
+    sc = sc.replace(point_loads=loads)
+    sol = solve_beam(I, sc, E, A)
+    u_dense = dense_solve(I, sc, E, A)
+    scale = np.abs(u_dense).max()
+    np.testing.assert_allclose(
+        np.asarray(sol.displacements), u_dense, rtol=1e-8, atol=1e-8 * scale
+    )
+
+
+def test_constrained_dofs_are_zero():
+    n = 101
+    sc = make_scenario(n, 200.0, roller_tags=(9, 29, 69, 84, 99), udl=-1000.0)
+    sol = solve_beam(jnp.full(n - 1, 0.5), sc, E, A)
+    assert abs(sol.deflections[0]) < 1e-14
+    for t in (9, 29, 69, 84, 99):
+        assert abs(sol.deflections[t]) < 1e-14
+
+
+def test_adjoint_gradient_vs_dense_autodiff():
+    """The implicit-adjoint gradient must match autodiff through an
+    independent dense solve of the same assembled system (exact), and
+    finite differences to FD-truncation accuracy."""
+    n, L = 21, 40.0
+    sc = make_scenario(n, L, roller_tags=(n - 1,), point=(10, -1e5), udl=-1e3)
+    I0 = jnp.full(n - 1, 0.5)
+
+    def loss(I):
+        sol = solve_beam(I, sc, E, A)
+        return jnp.sum(sol.deflections**2) * 1e3 + jnp.sum(
+            sol.bending_moments**2
+        ) / (2 * E * jnp.sum(I))
+
+    def loss_dense(I):
+        diag, upper, f = assemble_beam_system(I, sc, E, A)
+        K = jnp.zeros((3 * n, 3 * n))
+        for i in range(n):
+            K = K.at[3 * i : 3 * i + 3, 3 * i : 3 * i + 3].set(diag[i])
+        for i in range(n - 1):
+            K = K.at[3 * i : 3 * i + 3, 3 * i + 3 : 3 * i + 6].set(upper[i])
+            K = K.at[3 * i + 3 : 3 * i + 6, 3 * i : 3 * i + 3].set(
+                jnp.swapaxes(upper[i], -1, -2)
+            )
+        u = jnp.linalg.solve(K, f.reshape(-1)).reshape(n, 3)
+        from openpystruct_tpu.fem.elements import element_end_forces
+
+        u_e = jnp.concatenate([u[:-1], u[1:]], axis=-1)
+        Le = jnp.diff(sc.node_x)
+        ef = element_end_forces(u_e, E, A, I, Le, sc.udl)
+        return jnp.sum(u[:, 1] ** 2) * 1e3 + jnp.sum(ef[:, 2] ** 2) / (
+            2 * E * jnp.sum(I)
+        )
+
+    g = jax.grad(loss)(I0)
+    g_dense = jax.grad(loss_dense)(I0)
+    np.testing.assert_allclose(g, g_dense, rtol=1e-7)
+
+    eps = 1e-6
+    for idx in [0, 5, 10, 19]:
+        dI = jnp.zeros_like(I0).at[idx].set(eps)
+        fd = (loss(I0 + dI) - loss(I0 - dI)) / (2 * eps)
+        np.testing.assert_allclose(g[idx], fd, rtol=1e-3, atol=1e-8)
+
+
+def test_vmap_over_scenarios():
+    n, L = 51, 100.0
+    B = 8
+    keys = jax.random.split(jax.random.PRNGKey(1), B)
+    scenarios = []
+    for b in range(B):
+        loads = (
+            jnp.zeros(n)
+            .at[5 + b]
+            .set(-1e5 * (b + 1) / B)
+        )
+        scenarios.append(
+            make_scenario(n, L, roller_tags=(n - 1,), udl=-1e3).replace(
+                point_loads=loads
+            )
+        )
+    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *scenarios)
+    I = jnp.full((B, n - 1), 0.5)
+    sols = jax.vmap(lambda I, s: solve_beam(I, s, E, A))(I, batched)
+    for b in range(B):
+        single = solve_beam(I[b], scenarios[b], E, A)
+        np.testing.assert_allclose(
+            sols.deflections[b], single.deflections, rtol=1e-12
+        )
+
+
+def test_jit_compiles():
+    n = 101
+    sc = make_scenario(n, 200.0, roller_tags=(99,), point=(50, -1e5), udl=-1e3)
+    f = jax.jit(lambda I: solve_beam(I, sc, E, A).deflections)
+    out = f(jnp.full(n - 1, 0.5))
+    assert out.shape == (n,)
