@@ -1,0 +1,35 @@
+"""Batched scenario sampling and training-data generation.
+
+Replaces the reference's three datagen drivers — serial
+(OpenPyStruct_BeamOpt_training_SingleCore.py), 22-process joblib/loky
+(OpenPyStruct_BeamOpt_training_MultiCore.py) and CUDA-tensor
+(OpenPyStruct_BeamOpt_training_GPU.py) — with one program: ``vmap`` over
+scenarios within a chip and batch sharding over the device mesh across
+chips (ICI collectives instead of process pools).
+"""
+
+from openpystruct_tpu.datagen.sampler import sample_scenario
+from openpystruct_tpu.datagen.generate import (
+    DatagenBatch,
+    generate_batch,
+    generate_dataset,
+)
+from openpystruct_tpu.datagen.io import (
+    batch_to_columnar,
+    write_json_dataset,
+    read_json_dataset,
+    write_npz_shard,
+    read_npz_shards,
+)
+
+__all__ = [
+    "sample_scenario",
+    "DatagenBatch",
+    "generate_batch",
+    "generate_dataset",
+    "batch_to_columnar",
+    "write_json_dataset",
+    "read_json_dataset",
+    "write_npz_shard",
+    "read_npz_shards",
+]

@@ -1,0 +1,121 @@
+"""Dataset serialization.
+
+Two formats:
+- the reference's 13-key columnar JSON schema (the contract between its
+  datagen and surrogate layers, OpenPyStruct_BeamOpt_training_SingleCore.py:73-87),
+  for interop — ragged per-sample lists, 1-based node tags;
+- array-native ``.npz`` shards of the masked fixed-size representation, the
+  efficient path for feeding TPU training (no ragged padding round-trip).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterable, List
+
+import numpy as np
+
+SCHEMA_KEYS = (
+    "roller_x_locations",
+    "force_x_locations",
+    "force_values",
+    "I_values",
+    "shear_forces",
+    "bending_moments",
+    "node_positions",
+    "roller_nodes",
+    "force_nodes",
+    "num_nodes",
+    "L",
+    "rotations",
+    "deflections",
+)
+
+
+def batch_to_columnar(batch) -> dict:
+    """Convert one DatagenBatch to the 13-key columnar schema (host-side),
+    dropping invalid samples (the reference's None-filtering,
+    OpenPyStruct_BeamOpt_training_MultiCore.py:264-265)."""
+    sc = batch.scenario
+    res = batch.result
+    valid = np.asarray(batch.valid)
+
+    node_x = np.asarray(sc.node_x)
+    roller_mask = np.asarray(sc.roller_mask)
+    loads = np.asarray(sc.point_loads)
+    I = np.asarray(res.I)
+    shear = np.asarray(res.solution.shear_forces)
+    moment = np.asarray(res.solution.bending_moments)
+    rot = np.asarray(res.solution.rotations)
+    defl = np.asarray(res.solution.deflections)
+
+    out = {k: [] for k in SCHEMA_KEYS}
+    for b in np.nonzero(valid)[0]:
+        r_idx = np.nonzero(roller_mask[b])[0]
+        f_idx = np.nonzero(loads[b] != 0.0)[0]
+        out["roller_x_locations"].append(node_x[b, r_idx].tolist())
+        out["force_x_locations"].append(node_x[b, f_idx].tolist())
+        out["force_values"].append(loads[b, f_idx].tolist())
+        out["I_values"].append(I[b].tolist())
+        out["shear_forces"].append(shear[b].tolist())
+        out["bending_moments"].append(moment[b].tolist())
+        out["node_positions"].append(node_x[b].tolist())
+        # 1-based OpenSees node tags, as the reference stores them
+        # (MultiCore.py:227-240).
+        out["roller_nodes"].append((r_idx + 1).tolist())
+        out["force_nodes"].append((f_idx + 1).tolist())
+        out["num_nodes"].append(int(node_x.shape[1]))
+        out["L"].append(float(node_x[b, -1]))
+        out["rotations"].append(rot[b].tolist())
+        out["deflections"].append(defl[b].tolist())
+    return out
+
+
+def merge_columnar(chunks: Iterable[dict]) -> dict:
+    out = {k: [] for k in SCHEMA_KEYS}
+    for c in chunks:
+        for k in SCHEMA_KEYS:
+            out[k].extend(c[k])
+    return out
+
+
+def write_json_dataset(columnar: dict, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(columnar, f)
+
+
+def read_json_dataset(path: str) -> dict:
+    with open(path, "r") as f:
+        data = json.load(f)
+    missing = [k for k in SCHEMA_KEYS if k not in data]
+    if missing:
+        raise ValueError(f"dataset at {path} missing keys: {missing}")
+    return data
+
+
+def write_npz_shard(batch, path: str) -> None:
+    """Array-native shard: masked fixed-size arrays, no ragged lists."""
+    np.savez_compressed(
+        path,
+        node_x=np.asarray(batch.scenario.node_x),
+        roller_mask=np.asarray(batch.scenario.roller_mask),
+        point_loads=np.asarray(batch.scenario.point_loads),
+        udl=np.asarray(batch.scenario.udl),
+        I=np.asarray(batch.result.I),
+        shear_forces=np.asarray(batch.result.solution.shear_forces),
+        bending_moments=np.asarray(batch.result.solution.bending_moments),
+        deflections=np.asarray(batch.result.solution.deflections),
+        rotations=np.asarray(batch.result.solution.rotations),
+        n_epochs=np.asarray(batch.result.n_epochs),
+        valid=np.asarray(batch.valid),
+        residual=np.asarray(batch.residual),
+    )
+
+
+def read_npz_shards(paths: List[str]) -> dict:
+    arrays = {}
+    for p in paths:
+        with np.load(p) as z:
+            for k in z.files:
+                arrays.setdefault(k, []).append(z[k])
+    return {k: np.concatenate(v, axis=0) for k, v in arrays.items()}

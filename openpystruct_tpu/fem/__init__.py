@@ -23,11 +23,14 @@ from openpystruct_tpu.fem.elements import (
 from openpystruct_tpu.fem.solve import (
     block_tridiag_solve,
     block_tridiag_matvec,
+    block_tridiag_min_pivot,
+    block_tridiag_residual_compensated,
 )
 from openpystruct_tpu.fem.beam import (
     BeamScenario,
     BeamSolution,
     assemble_beam_system,
+    beam_min_pivot,
     solve_beam,
 )
 
@@ -37,8 +40,11 @@ __all__ = [
     "element_end_forces",
     "block_tridiag_solve",
     "block_tridiag_matvec",
+    "block_tridiag_min_pivot",
+    "block_tridiag_residual_compensated",
     "BeamScenario",
     "BeamSolution",
     "assemble_beam_system",
+    "beam_min_pivot",
     "solve_beam",
 ]

@@ -25,7 +25,10 @@ from openpystruct_tpu.fem.elements import (
     element_end_forces,
     udl_equivalent_loads,
 )
-from openpystruct_tpu.fem.solve import block_tridiag_solve
+from openpystruct_tpu.fem.solve import (
+    block_tridiag_min_pivot,
+    block_tridiag_solve,
+)
 
 
 @struct.dataclass
@@ -112,6 +115,15 @@ def assemble_beam_system(I, scenario: BeamScenario, E, A):
     upper = upper * free[:-1, :, None] * free[1:, None, :]
     f = f * free
     return diag, upper, f
+
+
+def beam_min_pivot(I, scenario: BeamScenario, E, A):
+    """Singularity diagnostic: min Schur-pivot determinant of the scaled
+    system (see :func:`block_tridiag_min_pivot`).  Valid configurations stay
+    above ~1e-7 in float32; structurally singular ones collapse to ~1e-10.
+    The TPU-native stand-in for OpenSees' analyze-failure return code."""
+    diag, upper, _ = assemble_beam_system(I, scenario, E, A)
+    return block_tridiag_min_pivot(diag, upper)
 
 
 def solve_beam(

@@ -11,6 +11,7 @@ ux_j, uy_j, rz_j).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -71,5 +72,9 @@ def element_end_forces(u_e, E, A, I, Le, w=0.0):
     The reference reads index 1 (shear at start) and 2 (moment at start).
     """
     k = beam_element_stiffness(E, A, I, Le)
-    f = jnp.einsum("...ij,...j->...i", k, u_e)
+    # Full float32 precision: TPU einsum otherwise runs bf16 MXU passes,
+    # which destroys the large-term cancellation in end-force recovery.
+    f = jnp.einsum(
+        "...ij,...j->...i", k, u_e, precision=jax.lax.Precision.HIGHEST
+    )
     return f - udl_equivalent_loads(w, Le)

@@ -21,6 +21,8 @@ OpenPyStruct_BeamOpt.py:150-151).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -69,12 +71,18 @@ def _inv_small(m):
     return jnp.linalg.inv(m)
 
 
+# The 3x3 recurrence products MUST run at full float32 precision: TPU einsum
+# otherwise defaults to bfloat16 MXU passes (eps ~ 8e-3), which corrupts the
+# factorization.  These ops are tiny and VPU-bound, so HIGHEST costs nothing.
+_PREC = jax.lax.Precision.HIGHEST
+
+
 def _mv(m, v):
-    return jnp.einsum("...ij,...j->...i", m, v)
+    return jnp.einsum("...ij,...j->...i", m, v, precision=_PREC)
 
 
 def _mm(a, b):
-    return jnp.einsum("...ij,...jk->...ik", a, b)
+    return jnp.einsum("...ij,...jk->...ik", a, b, precision=_PREC)
 
 
 def _factor(diag, upper, lower):
@@ -129,26 +137,35 @@ def _solve_factored(sinv, c, lower, b):
     return jnp.concatenate([xs, y[-1][None]], axis=0)
 
 
-@jax.custom_vjp
-def _solve(diag, upper, lower, b):
-    sinv, c = _factor(diag, upper, lower)
-    return _solve_factored(sinv, c, lower, b)
-
-
-def _solve_fwd(diag, upper, lower, b):
+def _solve_impl(diag, upper, lower, b, refine):
+    """Factor once; optional iterative-refinement sweeps reuse the factors
+    (each sweep = one compensated residual + one O(N k^2) substitution)."""
     sinv, c = _factor(diag, upper, lower)
     x = _solve_factored(sinv, c, lower, b)
+    for _ in range(refine):
+        r = block_tridiag_residual_compensated(diag, upper, b, x, lower)
+        x = x + _solve_factored(sinv, c, lower, r)
+    return x
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _solve(diag, upper, lower, b, refine):
+    return _solve_impl(diag, upper, lower, b, refine)
+
+
+def _solve_fwd(diag, upper, lower, b, refine):
+    x = _solve_impl(diag, upper, lower, b, refine)
     return x, (diag, upper, lower, x)
 
 
-def _solve_bwd(res, g):
+def _solve_bwd(refine, res, g):
     diag, upper, lower, x = res
     # Adjoint system K^T lam = g: transpose every block and swap the bands.
+    # The adjoint solve refines to the same accuracy as the primal.
     d_t = jnp.swapaxes(diag, -1, -2)
     u_t = jnp.swapaxes(lower, -1, -2)
     l_t = jnp.swapaxes(upper, -1, -2)
-    sinv_t, c_t = _factor(d_t, u_t, l_t)
-    lam = _solve_factored(sinv_t, c_t, l_t, g)
+    lam = _solve_impl(d_t, u_t, l_t, g, refine)
     # dL/dK = -lam x^T restricted to the block-tridiagonal sparsity.
     diag_bar = -lam[:, :, None] * x[:, None, :]
     upper_bar = -lam[:-1, :, None] * x[1:, None, :]
@@ -157,6 +174,106 @@ def _solve_bwd(res, g):
 
 
 _solve.defvjp(_solve_fwd, _solve_bwd)
+
+
+def _det_small(m):
+    """Determinant of (..., k, k) blocks for small static k."""
+    k = m.shape[-1]
+    if k == 1:
+        return m[..., 0, 0]
+    if k == 2:
+        return m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
+    if k == 3:
+        a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+        d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+        g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+        return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    return jnp.linalg.det(m)
+
+
+def block_tridiag_min_pivot(diag, upper, lower=None):
+    """min_i |det(S_i)| over the block-Thomas Schur pivots of the
+    Jacobi-scaled system — a singularity detector.
+
+    A structurally singular system (e.g. a beam with no roller: rigid
+    rotation about the pin) produces a pivot at float32 noise level
+    (~1e-10), while valid systems stay orders of magnitude above; this is
+    the TPU-native analog of OpenSees' ``analyze`` failure return
+    (OpenPyStruct_BeamOpt_training_MultiCore.py:184-186).
+    """
+    d = jnp.diagonal(diag, axis1=-2, axis2=-1)
+    s = jax.lax.rsqrt(d)
+    diag_s = diag * s[..., :, None] * s[..., None, :]
+    upper_s = upper * s[..., :-1, :, None] * s[..., 1:, None, :]
+    if lower is None:
+        lower_s = jnp.swapaxes(upper_s, -1, -2)
+    else:
+        lower_s = lower * s[..., 1:, :, None] * s[..., :-1, None, :]
+    sinv, _ = _factor(diag_s, upper_s, lower_s)
+    # S_i = inv(Sinv_i) => |det S_i| = 1 / |det Sinv_i|
+    return jnp.min(1.0 / jnp.abs(_det_small(sinv)), axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Compensated (double-float) residual for iterative refinement.
+#
+# A plain float32 residual b - K x is dominated by rounding when
+# ||K||*||x|| >> ||b|| (always true for stiff FE systems), so refinement
+# stalls.  Error-free transformations (Dekker two-product, Knuth two-sum)
+# compute the residual to ~2^-45 relative, letting one or two refinement
+# sweeps recover near-full float32 forward accuracy even for ill-conditioned
+# long-span beams.  All element-wise VPU work.
+# ---------------------------------------------------------------------------
+
+_SPLIT = 4097.0  # 2^12 + 1, Dekker split constant for float32 (24-bit mantissa)
+
+
+def _two_prod(a, b):
+    p = a * b
+    ca = _SPLIT * a
+    ahi = ca - (ca - a)
+    alo = a - ahi
+    cb = _SPLIT * b
+    bhi = cb - (cb - b)
+    blo = b - bhi
+    e = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
+    return p, e
+
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def block_tridiag_residual_compensated(diag, upper, b, x, lower=None):
+    """b - K x computed with compensated float32 arithmetic (~double
+    accuracy).  Shapes as in :func:`block_tridiag_solve`."""
+    if lower is None:
+        lower = jnp.swapaxes(upper, -1, -2)
+    n, k, _ = diag.shape[-3:]
+    zpad = jnp.zeros(diag.shape[:-3] + (1, k, k), dtype=diag.dtype)
+    up = jnp.concatenate([upper, zpad], axis=-3)      # row i couples x[i+1]
+    lo = jnp.concatenate([zpad, lower], axis=-3)      # row i couples x[i-1]
+    xz = jnp.zeros(x.shape[:-2] + (1, k), dtype=x.dtype)
+    x_next = jnp.concatenate([x[..., 1:, :], xz], axis=-2)
+    x_prev = jnp.concatenate([xz, x[..., :-1, :]], axis=-2)
+
+    # products: (..., n, k_out, k_in) term groups
+    terms = []
+    for m, v in ((diag, x), (up, x_next), (lo, x_prev)):
+        p, e = _two_prod(-m, v[..., None, :])
+        terms.append((p, e))
+
+    # Neumaier accumulation of 3*k products + b per output component.
+    s = b
+    comp = jnp.zeros_like(b)
+    for p, e in terms:
+        for j in range(k):
+            s, c = _two_sum(s, p[..., j])
+            comp = comp + c + e[..., j]
+    return s + comp
 
 
 def block_tridiag_matvec(diag, upper, b, lower=None):
@@ -178,16 +295,14 @@ def block_tridiag_solve(diag, upper, b, lower=None, refine=0):
       b: (n, k) right-hand side.
       lower: (n-1, k, k) sub-diagonal blocks; defaults to ``upper^T``
         (symmetric K, the BandSPD case of OpenPyStruct_BeamOpt.py:122).
-      refine: number of iterative-refinement sweeps (r = b - Kx; x += K^-1 r).
-        Use 1-2 on TPU float32 to recover accuracy lost to the ~1e-7 epsilon;
-        costs one extra factorization + solve per sweep.
+      refine: number of iterative-refinement sweeps with a compensated
+        (double-float) residual.  Use 1-2 on TPU float32: the accurate
+        residual lets refinement recover near-full float32 forward accuracy
+        even for ill-conditioned long single-span beams, where a plain f32
+        solve can be ~10% off.
 
     Vmappable over leading batch axes of all operands.
     """
     if lower is None:
         lower = jnp.swapaxes(upper, -1, -2)
-    x = _solve(diag, upper, lower, b)
-    for _ in range(refine):
-        r = b - block_tridiag_matvec(diag, upper, x, lower)
-        x = x + _solve(diag, upper, lower, r)
-    return x
+    return _solve(diag, upper, lower, b, refine)

@@ -1,0 +1,316 @@
+"""One jitted training harness for every surrogate family.
+
+Reference pattern reproduced (OpenPyStruct_FNN_MultiCase.py:480-632):
+shuffled batches -> per-epoch decaying Gaussian input noise
+(sigma_0 * gamma_noise^epoch) -> mixed-precision forward (bf16 on TPU, the
+AMP analog) -> TrainableL1L2 loss + (alpha_0 - alpha)^2 regularizer ->
+global-norm grad clip 1.0 -> Adam with L2 weight decay (torch style:
+decay added to the gradient before the Adam update; ``decoupled=True``
+gives the GNN script's AdamW) -> per-epoch ExponentialLR -> early stopping
+on val loss with best-checkpoint retention -> R^2 evaluation on
+un-standardized, clipped predictions.
+
+TPU-first mechanics: each epoch is ONE jitted program — a ``lax.scan`` over
+batches — so there is no per-batch Python/dispatch overhead; with a mesh the
+batch axis is sharded and XLA inserts the gradient all-reduce over ICI.
+
+Divergence from the reference (intentional): partial trailing batches are
+dropped (static shapes; the reference's DataLoader keeps them), and the
+loss alpha is actually trained by default — see models/losses.py for why the
+reference never updates it; pass ``train_alpha=False`` to freeze it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from openpystruct_tpu.config import TrainConfig
+from openpystruct_tpu.models.losses import trainable_l1l2_loss
+
+
+@struct.dataclass
+class TrainState:
+    params: Any          # {"model": pytree, "alpha": scalar}
+    opt_state: Any
+    step: jax.Array
+
+
+@struct.dataclass
+class FitResult:
+    params: Any                    # best params (by val loss)
+    state: TrainState              # final state
+    train_losses: np.ndarray = struct.field(pytree_node=False, default=None)
+    val_losses: np.ndarray = struct.field(pytree_node=False, default=None)
+    best_epoch: int = struct.field(pytree_node=False, default=0)
+    stopped_early: bool = struct.field(pytree_node=False, default=False)
+
+
+def _make_optimizer(cfg: TrainConfig, steps_per_epoch: int, train_alpha: bool,
+                    decoupled: bool):
+    # lr * gamma^epoch, scheduler stepped once per epoch
+    # (OpenPyStruct_FNN_MultiCase.py:482,574).
+    schedule = lambda count: cfg.learning_rate * (
+        cfg.lr_gamma ** (count // steps_per_epoch)
+    )
+    wd_mask = lambda params: jax.tree.map(lambda _: True, params["model"]) and {
+        "model": jax.tree.map(lambda _: True, params["model"]),
+        "alpha": False,
+    }
+    if decoupled:
+        # AdamW (the GNN script, OpenPyStruct_GNN_MultiCase_Beta.py:395)
+        inner = optax.chain(
+            optax.scale_by_adam(eps=1e-8),
+            optax.add_decayed_weights(cfg.weight_decay, mask=wd_mask),
+            optax.scale_by_learning_rate(schedule),
+        )
+    else:
+        # torch Adam(weight_decay): L2 term added to the gradient BEFORE the
+        # Adam moments (OpenPyStruct_FNN_MultiCase.py:481).
+        inner = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay, mask=wd_mask),
+            optax.scale_by_adam(eps=1e-8),
+            optax.scale_by_learning_rate(schedule),
+        )
+    tx = optax.chain(optax.clip_by_global_norm(1.0), inner)
+    if not train_alpha:
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()},
+            param_labels={"model": "train", "alpha": "freeze"},
+        )
+    return tx
+
+
+def _batch_epoch(rng, X, Y, steps: int, batch: int):
+    """Shuffle and reshape one epoch into (steps, batch, ...)."""
+    perm = jax.random.permutation(rng, X.shape[0])[: steps * batch]
+    Xb = X[perm].reshape(steps, batch, *X.shape[1:])
+    Yb = Y[perm].reshape(steps, batch, *Y.shape[1:])
+    return Xb, Yb
+
+
+def fit(
+    model,
+    X_train,
+    Y_train,
+    X_val,
+    Y_val,
+    cfg: TrainConfig = TrainConfig(),
+    rng: Optional[jax.Array] = None,
+    loss_fn: Optional[Callable] = None,
+    param_loss_fn: Optional[Callable] = None,
+    train_alpha: bool = True,
+    decoupled_weight_decay: bool = False,
+    model_rng_keys: Sequence[str] = ("dropout",),
+    mesh: Optional[jax.sharding.Mesh] = None,
+    data_axis: str = "data",
+    verbose: bool = False,
+) -> FitResult:
+    """Train ``model`` with the shared reference recipe.
+
+    loss_fn(alpha, preds, targets) -> scalar; defaults to TrainableL1L2 with
+    box constraints from the training-label min/max
+    (OpenPyStruct_FNN_MultiCase.py:313-314).
+    param_loss_fn(model_params) -> scalar adds parameter-dependent terms
+    (e.g. the Bayesian models' scaled KL).
+    """
+    if rng is None:
+        rng = jax.random.PRNGKey(cfg.seed)
+    X_train = jnp.asarray(X_train, jnp.float32)
+    Y_train = jnp.asarray(Y_train, jnp.float32)
+    X_val = jnp.asarray(X_val, jnp.float32)
+    Y_val = jnp.asarray(Y_val, jnp.float32)
+
+    min_c = float(Y_train.min())
+    max_c = float(Y_train.max())
+    if loss_fn is None:
+        def loss_fn(alpha, preds, targets):
+            return trainable_l1l2_loss(
+                alpha, preds, targets, min_c, max_c, cfg.box_constraint_coeff
+            )
+
+    rng, init_rng = jax.random.split(rng)
+    init_rngs = {"params": init_rng}
+    for k in model_rng_keys:
+        rng, sub = jax.random.split(rng)
+        init_rngs[k] = sub
+    variables = model.init(init_rngs, X_train[:2], train=True)
+    params = {
+        "model": variables["params"],
+        "alpha": jnp.asarray(cfg.initial_alpha, jnp.float32),
+    }
+
+    n_shards = mesh.shape[data_axis] if mesh is not None else 1
+
+    def _fit_batch(requested, total):
+        b = min(requested, total)
+        b = max((b // n_shards) * n_shards, n_shards)
+        if b > total:
+            raise ValueError(
+                f"dataset of {total} samples cannot fill one batch across "
+                f"{n_shards} mesh shards"
+            )
+        return b
+
+    batch = _fit_batch(cfg.batch_size, X_train.shape[0])
+    steps = max(X_train.shape[0] // batch, 1)
+    tx = _make_optimizer(cfg, steps, train_alpha, decoupled_weight_decay)
+    state = TrainState(
+        params=params, opt_state=tx.init(params), step=jnp.asarray(0)
+    )
+
+    val_batch = _fit_batch(cfg.batch_size, X_val.shape[0])
+    val_steps = max(X_val.shape[0] // val_batch, 1)
+    Xv = X_val[: val_steps * val_batch].reshape(
+        val_steps, val_batch, *X_val.shape[1:]
+    )
+    Yv = Y_val[: val_steps * val_batch].reshape(
+        val_steps, val_batch, *Y_val.shape[1:]
+    )
+
+    def compute_loss(params, Xb, Yb, rngs, train):
+        preds = model.apply(
+            {"params": params["model"]}, Xb, train=train,
+            rngs=rngs if train or model_rng_keys else None,
+        )
+        loss = loss_fn(params["alpha"], preds, Yb)
+        # mild penalty on alpha deviating from its initial value
+        # (OpenPyStruct_FNN_MultiCase.py:546-547)
+        loss = loss + (cfg.initial_alpha - params["alpha"]) ** 2
+        if param_loss_fn is not None:
+            loss = loss + param_loss_fn(params["model"])
+        return loss
+
+    def train_epoch(state, Xe, Ye, rng, noise_level):
+        def step_fn(carry, xs):
+            st, rng = carry
+            Xb, Yb = xs
+            rng, kn, *kms = jax.random.split(rng, 2 + len(model_rng_keys))
+            rngs = dict(zip(model_rng_keys, kms))
+            Xb = Xb + jax.random.normal(kn, Xb.shape, Xb.dtype) * noise_level
+
+            def lf(p):
+                return compute_loss(p, Xb, Yb, rngs, True)
+
+            loss, grads = jax.value_and_grad(lf)(st.params)
+            updates, opt_state = tx.update(grads, st.opt_state, st.params)
+            new_params = optax.apply_updates(st.params, updates)
+            st = TrainState(
+                params=new_params, opt_state=opt_state, step=st.step + 1
+            )
+            return (st, rng), loss
+
+        (state, _), losses = jax.lax.scan(step_fn, (state, rng), (Xe, Ye))
+        return state, jnp.mean(losses)
+
+    def val_loss_fn(state, rng):
+        def one(carry, xs):
+            rng = carry
+            Xb, Yb = xs
+            rng, *kms = jax.random.split(rng, 1 + max(len(model_rng_keys), 1))
+            rngs = dict(zip(model_rng_keys, kms))
+            return rng, compute_loss(state.params, Xb, Yb, rngs, False)
+
+        _, losses = jax.lax.scan(one, rng, (Xv, Yv))
+        return jnp.mean(losses)
+
+    train_epoch_j = jax.jit(train_epoch, donate_argnums=(0,))
+    val_loss_j = jax.jit(val_loss_fn)
+
+    if mesh is not None:
+        from openpystruct_tpu.parallel.mesh import batch_sharding
+
+        # shard the within-batch axis (axis 1 of (steps, batch, ...))
+        sh = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(None, data_axis)
+        )
+        rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        Xv = jax.device_put(Xv, sh)
+        Yv = jax.device_put(Yv, sh)
+        state = jax.device_put(state, rep)
+
+    best_val = float("inf")
+    best_params = jax.device_get(state.params)
+    best_epoch = 0
+    epochs_no_improve = 0
+    train_hist, val_hist = [], []
+    stopped = False
+
+    for epoch in range(1, cfg.num_epochs + 1):
+        noise = cfg.sigma_0 * (cfg.gamma_noise ** epoch)
+        rng, ks, ke, kv = jax.random.split(rng, 4)
+        Xe, Ye = _batch_epoch(ks, X_train, Y_train, steps, batch)
+        if mesh is not None:
+            Xe = jax.device_put(Xe, sh)
+            Ye = jax.device_put(Ye, sh)
+        state, tr_loss = train_epoch_j(state, Xe, Ye, ke, noise)
+        va_loss = val_loss_j(state, kv)
+        tr_loss, va_loss = float(tr_loss), float(va_loss)
+        train_hist.append(tr_loss)
+        val_hist.append(va_loss)
+
+        if va_loss < best_val:
+            best_val = va_loss
+            best_params = jax.device_get(state.params)
+            best_epoch = epoch
+            epochs_no_improve = 0
+        else:
+            epochs_no_improve += 1
+            if epochs_no_improve >= cfg.patience:
+                stopped = True
+                if verbose:
+                    print(f"Early stopping at epoch {epoch}")
+                break
+        if verbose:
+            print(
+                f"Epoch {epoch}/{cfg.num_epochs} | Train Loss={tr_loss:.6f}, "
+                f"Val Loss={va_loss:.6f}"
+            )
+
+    return FitResult(
+        params=best_params,
+        state=state,
+        train_losses=np.asarray(train_hist),
+        val_losses=np.asarray(val_hist),
+        best_epoch=best_epoch,
+        stopped_early=stopped,
+    )
+
+
+def predict(model, params, X, scaler_Y=None, rng=None,
+            model_rng_keys: Sequence[str] = (), clip=(0.0, 1e10)):
+    """Batch inference; optionally un-standardize with ``scaler_Y`` and clip
+    (the reference's eval path, OpenPyStruct_FNN_MultiCase.py:611-628)."""
+    rngs = None
+    if model_rng_keys:
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        keys = jax.random.split(rng, len(model_rng_keys))
+        rngs = dict(zip(model_rng_keys, keys))
+    preds = model.apply(
+        {"params": params["model"]}, jnp.asarray(X, jnp.float32),
+        train=False, rngs=rngs,
+    )
+    preds = np.asarray(preds)
+    if scaler_Y is not None:
+        preds = scaler_Y.inverse_transform(preds)
+        if clip is not None:
+            preds = np.clip(preds, *clip)
+    return preds
+
+
+def evaluate_r2(model, params, X_val, Y_val_std, scaler_Y, rng=None,
+                model_rng_keys: Sequence[str] = ()) -> float:
+    """R^2 on un-standardized, clipped predictions vs labels
+    (OpenPyStruct_FNN_MultiCase.py:598-632)."""
+    preds = predict(model, params, X_val, scaler_Y, rng=rng,
+                    model_rng_keys=model_rng_keys)
+    labels = scaler_Y.inverse_transform(np.asarray(Y_val_std))
+    labels = np.clip(labels, 0.0, 1e10)
+    ss_res = float(((labels - preds) ** 2).sum())
+    ss_tot = float(((labels - labels.mean()) ** 2).sum())
+    return 1.0 - ss_res / ss_tot

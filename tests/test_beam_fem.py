@@ -191,6 +191,43 @@ def test_vmap_over_scenarios():
         )
 
 
+def test_compensated_refinement_recovers_f32_accuracy():
+    """A single 200 m span (one roller at the far end) has cond ~ N^4; the
+    raw float32 solve is several percent off, and compensated-residual
+    refinement must bring it to ~float32-representation accuracy."""
+    n, L = 101, 200.0
+    sc64 = make_scenario(n, L, roller_tags=(n - 1,), point=(15, -3e5),
+                         udl=-1000.0)
+    I64 = jnp.full(n - 1, 0.5)
+    ref = solve_beam(I64, sc64, E, A).deflections  # float64 ground truth
+
+    sc32 = jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        sc64,
+    )
+    I32 = I64.astype(jnp.float32)
+    scale = float(jnp.max(jnp.abs(ref)))
+
+    err_raw = float(
+        jnp.max(jnp.abs(solve_beam(I32, sc32, E, A).deflections - ref))
+    ) / scale
+    # contraction per sweep ~ eps_f32 * cond(scaled K) ~ 1/6 for this span;
+    # sweeps are cheap (factor reuse), so drive it down hard
+    err_ref = float(
+        jnp.max(
+            jnp.abs(solve_beam(I32, sc32, E, A, refine=10).deflections - ref)
+        )
+    ) / scale
+    # The refinement floor is ~cond(K_s) * (||K|| ||x|| / ||f||) * eps_dd
+    # ~ 1e-4 for this worst-case geometry (a single 200 m span); typical
+    # multi-support scenarios sit orders of magnitude lower.  float64 (CPU)
+    # keeps the 1e-8 gate; float32+refine is the TPU fast path.
+    assert err_ref < 1e-3, f"refined error too large: {err_ref}"
+    assert err_ref < err_raw / 100 or err_raw < 1e-5
+
+
 def test_jit_compiles():
     n = 101
     sc = make_scenario(n, 200.0, roller_tags=(99,), point=(50, -1e5), udl=-1e3)

@@ -1,0 +1,153 @@
+"""Datagen tests: sampler distributions, batch generation, schema, sharding."""
+
+import collections
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openpystruct_tpu.config import (
+    DATAGEN_OPT,
+    BeamConfig,
+    OptimizerConfig,
+    ScenarioConfig,
+)
+from openpystruct_tpu.datagen import (
+    generate_batch,
+    generate_dataset,
+    read_json_dataset,
+    sample_scenario,
+    write_json_dataset,
+    write_npz_shard,
+    read_npz_shards,
+)
+from openpystruct_tpu.datagen.io import batch_to_columnar
+from openpystruct_tpu.parallel import default_mesh
+
+FAST_OPT = OptimizerConfig(max_epochs=30, tolerance=5e-3, patience=5)
+
+
+def test_sampler_fixed_bridge():
+    cfg = ScenarioConfig()
+    keys = jax.random.split(jax.random.PRNGKey(0), 256)
+    scs = jax.vmap(lambda k: sample_scenario(k, cfg))(keys)
+    roller = np.asarray(scs.roller_mask)
+    # fixed rollers at 1-based tags (10,30,70,85,100) -> 0-based (9,29,69,84,99)
+    expect = np.zeros(101, bool)
+    expect[[9, 29, 69, 84, 99]] = True
+    assert (roller == expect[None, :]).all()
+    loads = np.asarray(scs.point_loads)
+    n_forces = (loads != 0).sum(axis=1)
+    assert n_forces.min() >= 1 and n_forces.max() <= 4
+    # all four counts appear across 256 draws
+    assert set(collections.Counter(n_forces).keys()) == {1, 2, 3, 4}
+    # force values in [max_force, max_force/10]
+    vals = loads[loads != 0]
+    assert vals.min() >= -355857.0 and vals.max() <= -35585.7
+    # never at the pin (node 0), never at rollers, never at the last node
+    assert (loads[:, 0] == 0).all() and (loads[:, -1] == 0).all()
+    assert (loads[roller] == 0).all()
+
+
+def test_sampler_random_bridge():
+    cfg = ScenarioConfig(random_bridge=True)
+    keys = jax.random.split(jax.random.PRNGKey(1), 256)
+    scs = jax.vmap(lambda k: sample_scenario(k, cfg))(keys)
+    L = np.asarray(scs.node_x)[:, -1]
+    assert L.min() >= 15.0 and L.max() <= 215.0
+    assert len(np.unique(np.round(L, 6))) > 200  # lengths vary
+    n_rollers = np.asarray(scs.roller_mask).sum(axis=1)
+    assert n_rollers.min() >= 1 and n_rollers.max() <= 4
+    assert set(collections.Counter(n_rollers).keys()) == {1, 2, 3, 4}
+    # rollers never at the pin or the final node tag 101 (index 100)
+    roller = np.asarray(scs.roller_mask)
+    assert (~roller[:, 0]).all() and (~roller[:, -1]).all()
+
+
+def test_generate_batch_valid_and_optimized():
+    batch = generate_batch(
+        jax.random.PRNGKey(2), 16, opt_cfg=FAST_OPT
+    )
+    valid = np.asarray(batch.valid)
+    assert valid.all(), f"residuals: {np.asarray(batch.residual)}"
+    I = np.asarray(batch.result.I)
+    assert (I >= 1e-8).all()
+    # optimization actually moved I away from the initial 0.5
+    assert np.abs(I - 0.5).max() > 1e-3
+
+
+def test_generate_batch_sharded_matches_unsharded():
+    mesh = default_mesh(("data",))
+    assert mesh.devices.size == 8
+    b0 = generate_batch(jax.random.PRNGKey(3), 16, opt_cfg=FAST_OPT)
+    b1 = generate_batch(jax.random.PRNGKey(3), 16, opt_cfg=FAST_OPT, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(b0.result.I), np.asarray(b1.result.I), rtol=1e-6
+    )
+
+
+def test_dataset_schema_roundtrip(tmp_path):
+    data = generate_dataset(
+        jax.random.PRNGKey(4), 12, batch_size=6, opt_cfg=FAST_OPT
+    )
+    # all 13 reference keys, consistent counts
+    from openpystruct_tpu.datagen.io import SCHEMA_KEYS
+
+    assert set(data.keys()) == set(SCHEMA_KEYS)
+    n = len(data["I_values"])
+    assert n > 0
+    for k in SCHEMA_KEYS:
+        assert len(data[k]) == n
+    assert len(data["I_values"][0]) == 100
+    assert len(data["deflections"][0]) == 101
+    assert len(data["roller_nodes"][0]) == len(data["roller_x_locations"][0])
+    # 1-based tags, matching the reference convention
+    assert min(min(r) for r in data["roller_nodes"]) >= 2
+    assert data["num_nodes"][0] == 101
+
+    p = tmp_path / "ds.json"
+    write_json_dataset(data, str(p))
+    back = read_json_dataset(str(p))
+    assert back["I_values"] == data["I_values"]
+
+
+def test_npz_shard_roundtrip(tmp_path):
+    batch = generate_batch(jax.random.PRNGKey(5), 8, opt_cfg=FAST_OPT)
+    p = tmp_path / "shard0.npz"
+    write_npz_shard(batch, str(p))
+    arrays = read_npz_shards([str(p)])
+    assert arrays["I"].shape == (8, 100)
+    np.testing.assert_allclose(arrays["I"], np.asarray(batch.result.I))
+    assert arrays["valid"].dtype == bool
+
+
+def test_singularity_detector():
+    """The pivot check must separate singular (no-roller) systems from valid
+    ones, including valid systems with extreme I contrast — in float32."""
+    from openpystruct_tpu.fem import BeamScenario, beam_min_pivot
+
+    n = 101
+    node_x = jnp.linspace(0.0, 200.0, n, dtype=jnp.float32)
+    I = jnp.full(n - 1, 0.5, jnp.float32)
+    good = BeamScenario(
+        node_x=node_x,
+        roller_mask=jnp.zeros(n, bool).at[jnp.array([9, 29, 69, 84, 99])].set(
+            True
+        ),
+        point_loads=jnp.zeros(n, jnp.float32).at[50].set(-3e5),
+        udl=jnp.asarray(-1000.0, jnp.float32),
+    )
+    singular = good.replace(roller_mask=jnp.zeros(n, bool))
+    one_roller = good.replace(
+        roller_mask=jnp.zeros(n, bool).at[99].set(True)
+    )
+    Iwide = (
+        jnp.exp(jax.random.normal(jax.random.PRNGKey(0), (n - 1,)) * 2.0)
+        .astype(jnp.float32) * 0.5
+    )
+    tol = 1e-9
+    assert float(beam_min_pivot(I, good, 200e9, 0.01)) > tol
+    assert float(beam_min_pivot(I, one_roller, 200e9, 0.01)) > tol
+    assert float(beam_min_pivot(Iwide, one_roller, 200e9, 0.01)) > tol
+    assert float(beam_min_pivot(I, singular, 200e9, 0.01)) < tol
