@@ -26,6 +26,12 @@ from openpystruct_tpu.fem.solve import (
     block_tridiag_min_pivot,
     block_tridiag_residual_compensated,
 )
+from openpystruct_tpu.fem.frame import (
+    FrameStructure,
+    FrameSolution,
+    build_frame,
+    solve_frame,
+)
 from openpystruct_tpu.fem.beam import (
     BeamScenario,
     BeamSolution,
@@ -42,6 +48,10 @@ __all__ = [
     "block_tridiag_matvec",
     "block_tridiag_min_pivot",
     "block_tridiag_residual_compensated",
+    "FrameStructure",
+    "FrameSolution",
+    "build_frame",
+    "solve_frame",
     "BeamScenario",
     "BeamSolution",
     "assemble_beam_system",

@@ -1,0 +1,121 @@
+"""Fourier Neural Operator surrogate (1D over the load-case axis).
+
+Reference: ``SpectralConv1d`` + ``FNOBlock1d`` + ``FNO1dModel``
+(OpenPyStruct_FNO_MultiCase_Beta.py:340-495): lift feat_dim -> width with a
+pointwise Dense, 4 blocks of [spectral conv + pointwise conv + BatchNorm +
+GELU] along the n_cases axis, then flatten -> MLP -> n_elem.
+
+Spectral-mixing semantics: the proper FNO per-mode complex channel mixing
+``out[b,o,m] = sum_i x_ft[b,i,m] * W[i,o,m]`` is the default.  The
+reference's einsum ``"bim,iojm->bojm"`` with a size-1 leading weight axis
+actually *broadcast-sums* the input channels and multiplies by the
+channel-summed weight (verified against torch) — i.e. it degenerates to
+``(sum_i x_ft[b,i,m]) * (sum_j W[o,j,m])``; set ``degenerate_mixing=True``
+to replicate that behavior exactly.
+
+TPU note: the FFT axis is n_cases (6-8 points) — trivially small; the FFT
+runs in float32 (the reference disables AMP for exactly this layer,
+OpenPyStruct_FNO_MultiCase_Beta.py:617-618).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+from jax.nn.initializers import uniform as uniform_init
+
+
+class SpectralConv1d(nn.Module):
+    in_channels: int
+    out_channels: int
+    modes: int
+    degenerate_mixing: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B, in_channels, n) float32 -> (B, out_channels, n)."""
+        B, inC, n = x.shape
+        x = x.astype(jnp.float32)
+        x_ft = jnp.fft.rfft(x, n=n, axis=-1)  # (B, inC, n//2+1)
+        modes = min(self.modes, x_ft.shape[-1])
+
+        # scale * U(0,1) init, matching torch.rand scaling
+        # (OpenPyStruct_FNO_MultiCase_Beta.py:349-356)
+        scale = 1.0 / (self.in_channels * self.out_channels)
+        shape = (self.in_channels, self.out_channels, self.modes)
+        w_r = self.param("weights_real", uniform_init(scale), shape)
+        w_i = self.param("weights_imag", uniform_init(scale), shape)
+        w = (w_r + 1j * w_i)[:, :, :modes].astype(jnp.complex64)
+
+        xm = x_ft[:, :, :modes]
+        if self.degenerate_mixing:
+            # the reference's effective computation (see module docstring):
+            # (sum_i x_ft)[b,m] * (sum_j W)[o,m] — torch labels the weight's
+            # first axis as the output channel, so the sum runs over axis 1
+            out_m = xm.sum(axis=1)[:, None, :] * w.sum(axis=1)[None, :, :]
+        else:
+            out_m = jnp.einsum("bim,iom->bom", xm, w)
+
+        out_ft = jnp.zeros(
+            (B, self.out_channels, x_ft.shape[-1]), jnp.complex64
+        )
+        out_ft = out_ft.at[:, :, :modes].set(out_m)
+        return jnp.fft.irfft(out_ft, n=n, axis=-1)
+
+
+class FNOBlock1d(nn.Module):
+    width: int
+    modes: int
+    degenerate_mixing: bool = False
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        """x: (B, width, n)."""
+        x1 = SpectralConv1d(
+            self.width, self.width, self.modes,
+            degenerate_mixing=self.degenerate_mixing,
+        )(x)
+        # pointwise conv == Dense over the channel axis
+        x2 = nn.Dense(self.width, dtype=jnp.float32)(
+            x.transpose(0, 2, 1)
+        ).transpose(0, 2, 1)
+        out = x1 + x2
+        # BatchNorm1d over (B, n) per channel; torch momentum 0.1 == flax 0.9
+        out = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, axis=1,
+            dtype=jnp.float32,
+        )(out)
+        return nn.gelu(out)
+
+
+class FNO1dModel(nn.Module):
+    n_cases: int = 6
+    n_elem: int = 100
+    fno_modes: int = 4
+    fno_width: int = 128
+    num_fno_layers: int = 4
+    hidden_units: int = 512
+    dropout_rate: float = 0.1
+    degenerate_mixing: bool = False
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        """x: (B, n_cases, feat_dim) -> (B, n_elem)."""
+        B = x.shape[0]
+        x = x.astype(jnp.float32)
+        # lift: feat_dim -> width (OpenPyStruct_FNO_MultiCase_Beta.py:475-478)
+        x = nn.Dense(self.fno_width, dtype=jnp.float32)(x)  # (B, Nc, width)
+        x = x.transpose(0, 2, 1)  # (B, width, n_cases)
+        for _ in range(self.num_fno_layers):
+            x = FNOBlock1d(
+                self.fno_width, self.fno_modes,
+                degenerate_mixing=self.degenerate_mixing,
+            )(x, train=train)
+        x = x.reshape(B, -1)
+        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        x = nn.Dense(self.hidden_units, dtype=jnp.float32)(x)
+        x = nn.leaky_relu(x, negative_slope=0.1)
+        x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        return nn.Dense(self.n_elem, dtype=jnp.float32)(x)

@@ -2,10 +2,18 @@
 
 from openpystruct_tpu.opt.loss import structural_loss, LossComponents
 from openpystruct_tpu.opt.beam_opt import BeamOptResult, optimize_beam
+from openpystruct_tpu.opt.frame_opt import (
+    FrameOptResult,
+    frame_loss,
+    optimize_frame,
+)
 
 __all__ = [
     "structural_loss",
     "LossComponents",
     "BeamOptResult",
     "optimize_beam",
+    "FrameOptResult",
+    "frame_loss",
+    "optimize_frame",
 ]

@@ -1,0 +1,123 @@
+"""Frame I-field optimization.
+
+Reference loop (OpenPyStruct_FrameOpt_Discrete_Beta.py:166-206): Adam with
+lr=0.005 and NO learning-rate scheduler, loss
+
+  sum(I) + alpha_m * sum(M^2 / (2 E I + 1e-8))
+         + alpha_s * sum(F_y^2 / (G * 0.03 * sqrt(I)))
+
+where F_y is the element's global-Y end force (``response[1]`` — the axial
+force for vertical columns; see fem/frame.py docstring), post-step clamp
+I >= 1e-8, and early stop at tolerance 1e-3 / patience 10 over <= 5000
+epochs.  Semi-gradient like the beam: the force fields are constants per
+iteration (the reference accumulates Python floats, FrameOpt:149-158).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from openpystruct_tpu.config import FrameConfig
+from openpystruct_tpu.fem.frame import FrameSolution, FrameStructure, solve_frame
+from openpystruct_tpu.opt.loss import LossComponents
+
+
+@struct.dataclass
+class FrameOptResult:
+    I: jax.Array
+    solution: FrameSolution
+    loss: LossComponents
+    n_epochs: jax.Array
+    converged: jax.Array
+    loss_history: Optional[jax.Array] = None
+
+
+def frame_loss(I, solution: FrameSolution, cfg: FrameConfig,
+               alpha_moment: float = 1e-2, alpha_shear: float = 1e-2,
+               grad_mode: str = "semi") -> LossComponents:
+    fy = solution.end_forces[:, 1]
+    mz = solution.end_forces[:, 2]
+    if grad_mode == "semi":
+        fy = jax.lax.stop_gradient(fy)
+        mz = jax.lax.stop_gradient(mz)
+    bending = jnp.sum(mz**2 / (2.0 * cfg.E * I + 1e-8))
+    shear = jnp.sum(fy**2 / (cfg.G * (0.03 * jnp.sqrt(I))))
+    primary = jnp.sum(I)
+    b, s = alpha_moment * bending, alpha_shear * shear
+    return LossComponents(
+        total=primary + b + s, primary=primary,
+        bending_energy=b, shear_energy=s,
+    )
+
+
+def optimize_frame(
+    structure: FrameStructure,
+    cfg: FrameConfig = FrameConfig(),
+    I0: Optional[jax.Array] = None,
+    lr: float = 0.005,
+    alpha_moment: float = 1e-2,
+    alpha_shear: float = 1e-2,
+    grad_mode: str = "semi",
+    record_history: bool = False,
+    dtype=jnp.float32,
+) -> FrameOptResult:
+    """Vmappable over I0 (and over batches of load variations via closure)."""
+    if I0 is None:
+        I0 = jnp.full((structure.num_elems,), cfg.I0, dtype)
+
+    tx = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    opt_state0 = tx.init(I0)
+
+    def eval_loss(I):
+        sol = solve_frame(I, structure, cfg, dtype)
+        comps = frame_loss(I, sol, cfg, alpha_moment, alpha_shear, grad_mode)
+        return comps.total, (sol, comps)
+
+    grad_fn = jax.value_and_grad(eval_loss, has_aux=True)
+    sol0, comps0 = eval_loss(I0)[1]
+    loss_dtype = comps0.total.dtype
+    hist0 = (
+        jnp.full((cfg.max_epochs,), jnp.nan, loss_dtype)
+        if record_history else None
+    )
+
+    carry0 = dict(
+        I=I0, opt_state=opt_state0, epoch=jnp.asarray(0, jnp.int32),
+        best=jnp.asarray(jnp.inf, loss_dtype),
+        no_improve=jnp.asarray(0, jnp.int32),
+        done=jnp.asarray(False), sol=sol0, comps=comps0, hist=hist0,
+    )
+
+    def cond(c):
+        return (~c["done"]) & (c["epoch"] < cfg.max_epochs)
+
+    def body(c):
+        (total, (sol, comps)), g = grad_fn(c["I"])
+        updates, opt_state = tx.update(g, c["opt_state"], c["I"])
+        I_new = jnp.maximum(optax.apply_updates(c["I"], updates), 1e-8)
+        improved = total < c["best"] - cfg.tolerance
+        best = jnp.where(improved, total, c["best"])
+        no_improve = jnp.where(improved, 0, c["no_improve"] + 1)
+        hist = c["hist"]
+        if hist is not None:
+            hist = jax.lax.dynamic_update_slice(
+                hist, total.astype(hist.dtype)[None],
+                (c["epoch"],),
+            )
+        return dict(
+            I=I_new, opt_state=opt_state, epoch=c["epoch"] + 1,
+            best=best, no_improve=no_improve,
+            done=no_improve >= cfg.patience, sol=sol, comps=comps,
+            hist=hist,
+        )
+
+    c = jax.lax.while_loop(cond, body, carry0)
+    return FrameOptResult(
+        I=c["I"], solution=c["sol"], loss=c["comps"],
+        n_epochs=c["epoch"], converged=c["done"], loss_history=c["hist"],
+    )

@@ -39,6 +39,7 @@ class TrainState:
     params: Any          # {"model": pytree, "alpha": scalar}
     opt_state: Any
     step: jax.Array
+    batch_stats: Any = None  # BatchNorm running statistics (FNO/PINN)
 
 
 @struct.dataclass
@@ -49,6 +50,7 @@ class FitResult:
     val_losses: np.ndarray = struct.field(pytree_node=False, default=None)
     best_epoch: int = struct.field(pytree_node=False, default=0)
     stopped_early: bool = struct.field(pytree_node=False, default=False)
+    batch_stats: Any = None        # running stats matching ``params``
 
 
 def _make_optimizer(cfg: TrainConfig, steps_per_epoch: int, train_alpha: bool,
@@ -144,6 +146,8 @@ def fit(
         "model": variables["params"],
         "alpha": jnp.asarray(cfg.initial_alpha, jnp.float32),
     }
+    batch_stats = variables.get("batch_stats", None)
+    has_bn = batch_stats is not None
 
     n_shards = mesh.shape[data_axis] if mesh is not None else 1
 
@@ -161,7 +165,8 @@ def fit(
     steps = max(X_train.shape[0] // batch, 1)
     tx = _make_optimizer(cfg, steps, train_alpha, decoupled_weight_decay)
     state = TrainState(
-        params=params, opt_state=tx.init(params), step=jnp.asarray(0)
+        params=params, opt_state=tx.init(params), step=jnp.asarray(0),
+        batch_stats=batch_stats,
     )
 
     val_batch = _fit_batch(cfg.batch_size, X_val.shape[0])
@@ -173,18 +178,29 @@ def fit(
         val_steps, val_batch, *Y_val.shape[1:]
     )
 
-    def compute_loss(params, Xb, Yb, rngs, train):
-        preds = model.apply(
-            {"params": params["model"]}, Xb, train=train,
-            rngs=rngs if train or model_rng_keys else None,
-        )
+    def compute_loss(params, batch_stats, Xb, Yb, rngs, train):
+        variables = {"params": params["model"]}
+        if has_bn:
+            variables["batch_stats"] = batch_stats
+        if train and has_bn:
+            preds, mutated = model.apply(
+                variables, Xb, train=True, rngs=rngs,
+                mutable=["batch_stats"],
+            )
+            new_stats = mutated["batch_stats"]
+        else:
+            preds = model.apply(
+                variables, Xb, train=train,
+                rngs=rngs if train or model_rng_keys else None,
+            )
+            new_stats = batch_stats
         loss = loss_fn(params["alpha"], preds, Yb)
         # mild penalty on alpha deviating from its initial value
         # (OpenPyStruct_FNN_MultiCase.py:546-547)
         loss = loss + (cfg.initial_alpha - params["alpha"]) ** 2
         if param_loss_fn is not None:
             loss = loss + param_loss_fn(params["model"])
-        return loss
+        return loss, new_stats
 
     def train_epoch(state, Xe, Ye, rng, noise_level):
         def step_fn(carry, xs):
@@ -195,13 +211,16 @@ def fit(
             Xb = Xb + jax.random.normal(kn, Xb.shape, Xb.dtype) * noise_level
 
             def lf(p):
-                return compute_loss(p, Xb, Yb, rngs, True)
+                return compute_loss(p, st.batch_stats, Xb, Yb, rngs, True)
 
-            loss, grads = jax.value_and_grad(lf)(st.params)
+            (loss, new_stats), grads = jax.value_and_grad(lf, has_aux=True)(
+                st.params
+            )
             updates, opt_state = tx.update(grads, st.opt_state, st.params)
             new_params = optax.apply_updates(st.params, updates)
             st = TrainState(
-                params=new_params, opt_state=opt_state, step=st.step + 1
+                params=new_params, opt_state=opt_state, step=st.step + 1,
+                batch_stats=new_stats,
             )
             return (st, rng), loss
 
@@ -214,7 +233,10 @@ def fit(
             Xb, Yb = xs
             rng, *kms = jax.random.split(rng, 1 + max(len(model_rng_keys), 1))
             rngs = dict(zip(model_rng_keys, kms))
-            return rng, compute_loss(state.params, Xb, Yb, rngs, False)
+            loss, _ = compute_loss(
+                state.params, state.batch_stats, Xb, Yb, rngs, False
+            )
+            return rng, loss
 
         _, losses = jax.lax.scan(one, rng, (Xv, Yv))
         return jnp.mean(losses)
@@ -236,6 +258,7 @@ def fit(
 
     best_val = float("inf")
     best_params = jax.device_get(state.params)
+    best_stats = jax.device_get(state.batch_stats) if has_bn else None
     best_epoch = 0
     epochs_no_improve = 0
     train_hist, val_hist = [], []
@@ -257,6 +280,8 @@ def fit(
         if va_loss < best_val:
             best_val = va_loss
             best_params = jax.device_get(state.params)
+            if has_bn:
+                best_stats = jax.device_get(state.batch_stats)
             best_epoch = epoch
             epochs_no_improve = 0
         else:
@@ -279,11 +304,13 @@ def fit(
         val_losses=np.asarray(val_hist),
         best_epoch=best_epoch,
         stopped_early=stopped,
+        batch_stats=best_stats,
     )
 
 
 def predict(model, params, X, scaler_Y=None, rng=None,
-            model_rng_keys: Sequence[str] = (), clip=(0.0, 1e10)):
+            model_rng_keys: Sequence[str] = (), clip=(0.0, 1e10),
+            batch_stats=None):
     """Batch inference; optionally un-standardize with ``scaler_Y`` and clip
     (the reference's eval path, OpenPyStruct_FNN_MultiCase.py:611-628)."""
     rngs = None
@@ -291,8 +318,11 @@ def predict(model, params, X, scaler_Y=None, rng=None,
         rng = jax.random.PRNGKey(0) if rng is None else rng
         keys = jax.random.split(rng, len(model_rng_keys))
         rngs = dict(zip(model_rng_keys, keys))
+    variables = {"params": params["model"]}
+    if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
     preds = model.apply(
-        {"params": params["model"]}, jnp.asarray(X, jnp.float32),
+        variables, jnp.asarray(X, jnp.float32),
         train=False, rngs=rngs,
     )
     preds = np.asarray(preds)
@@ -304,11 +334,12 @@ def predict(model, params, X, scaler_Y=None, rng=None,
 
 
 def evaluate_r2(model, params, X_val, Y_val_std, scaler_Y, rng=None,
-                model_rng_keys: Sequence[str] = ()) -> float:
+                model_rng_keys: Sequence[str] = (),
+                batch_stats=None) -> float:
     """R^2 on un-standardized, clipped predictions vs labels
     (OpenPyStruct_FNN_MultiCase.py:598-632)."""
     preds = predict(model, params, X_val, scaler_Y, rng=rng,
-                    model_rng_keys=model_rng_keys)
+                    model_rng_keys=model_rng_keys, batch_stats=batch_stats)
     labels = scaler_Y.inverse_transform(np.asarray(Y_val_std))
     labels = np.clip(labels, 0.0, 1e10)
     ss_res = float(((labels - preds) ** 2).sum())

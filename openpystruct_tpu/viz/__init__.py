@@ -1,0 +1,19 @@
+"""Host-side matplotlib reporting (the reference's L5 layer)."""
+
+from openpystruct_tpu.viz.plots import (
+    plot_loss_history,
+    plot_train_val_losses,
+    plot_beam_diagrams,
+    plot_beam_prediction,
+    plot_frame,
+    plot_pinn_fields,
+)
+
+__all__ = [
+    "plot_loss_history",
+    "plot_train_val_losses",
+    "plot_beam_diagrams",
+    "plot_beam_prediction",
+    "plot_frame",
+    "plot_pinn_fields",
+]

@@ -1,0 +1,53 @@
+"""Smoke tests: every plot function renders and saves headlessly."""
+
+import numpy as np
+import pytest
+
+mpl = pytest.importorskip("matplotlib")
+mpl.use("Agg")
+
+from openpystruct_tpu.viz import (
+    plot_beam_diagrams,
+    plot_beam_prediction,
+    plot_frame,
+    plot_loss_history,
+    plot_pinn_fields,
+    plot_train_val_losses,
+)
+
+
+def test_all_plots_render(tmp_path):
+    rng = np.random.default_rng(0)
+    n = 21
+    node_x = np.linspace(0, 40, n)
+    I = rng.uniform(0.1, 1.0, n - 1)
+
+    figs = [
+        plot_loss_history(
+            np.vstack([np.linspace(10, 1, 50)] * 4).T
+        ),
+        plot_train_val_losses(np.linspace(1, 0.1, 20),
+                              np.linspace(1.2, 0.2, 20)),
+        plot_beam_diagrams(
+            node_x, I, rng.normal(0, 1e4, n - 1), rng.normal(0, 1e5, n - 1),
+            roller_idx=(5, 15), force_idx=(8,), force_values=(-1e5,),
+        ),
+        plot_beam_prediction(
+            40.0, I, rollers_x=(10.0, 30.0),
+            force_cases_x=[[5.0, 20.0], [12.0]],
+            force_cases_vals=[[-1e5, -2e5], [-5e4]],
+        ),
+        plot_pinn_fields(node_x, I, rng.normal(0, 1e-3, n),
+                         rng.normal(0, 1e-4, n)),
+    ]
+
+    from openpystruct_tpu.config import FrameConfig
+    from openpystruct_tpu.fem import build_frame
+
+    st = build_frame(2, 2, FrameConfig())
+    figs.append(plot_frame(st, rng.uniform(1e-4, 1e-3, st.num_elems)))
+
+    for i, fig in enumerate(figs):
+        out = tmp_path / f"fig{i}.png"
+        fig.savefig(out)
+        assert out.stat().st_size > 1000
