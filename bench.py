@@ -63,10 +63,11 @@ def cpu_baseline_rate(diag, upper, f, iters=300):
 
 
 def device_rate(sc, I, batch=8192, reps=10, refine=1):
+    """Full batched solve (assembly + Pallas block-Thomas + end forces)."""
     import jax
     import jax.numpy as jnp
 
-    from openpystruct_tpu.fem import solve_beam
+    from openpystruct_tpu.fem.beam import solve_beam_batched
 
     E, A = 200e9, 0.01
     sc32 = jax.tree.map(
@@ -75,13 +76,18 @@ def device_rate(sc, I, batch=8192, reps=10, refine=1):
         else x,
         sc,
     )
+    sc_b = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape),
+                        sc32)
     key = jax.random.PRNGKey(0)
     Ib = (
         jnp.exp(jax.random.normal(key, (batch, len(I)), jnp.float32) * 0.3)
         * 0.5
     )
+    use_pallas = jax.default_backend() == "tpu"
     fn = jax.jit(
-        jax.vmap(lambda I: solve_beam(I, sc32, E, A, refine=refine).deflections)
+        lambda Ib: solve_beam_batched(
+            Ib, sc_b, E, A, refine=refine, use_pallas=use_pallas
+        ).deflections
     )
     out = fn(Ib)
     out.block_until_ready()

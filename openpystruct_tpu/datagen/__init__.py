@@ -13,6 +13,7 @@ from openpystruct_tpu.datagen.generate import (
     DatagenBatch,
     generate_batch,
     generate_dataset,
+    generate_dataset_json,
 )
 from openpystruct_tpu.datagen.io import (
     batch_to_columnar,
@@ -27,6 +28,7 @@ __all__ = [
     "DatagenBatch",
     "generate_batch",
     "generate_dataset",
+    "generate_dataset_json",
     "batch_to_columnar",
     "write_json_dataset",
     "read_json_dataset",

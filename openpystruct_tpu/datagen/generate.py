@@ -29,7 +29,7 @@ from openpystruct_tpu.config import (
     ScenarioConfig,
 )
 from openpystruct_tpu.fem.beam import BeamScenario, beam_min_pivot
-from openpystruct_tpu.opt.beam_opt import BeamOptResult, optimize_beam
+from openpystruct_tpu.opt.beam_opt import BeamOptResult
 from openpystruct_tpu.datagen.sampler import sample_scenario
 
 
@@ -41,27 +41,64 @@ class DatagenBatch:
     residual: jax.Array      # (B,) min Schur pivot of the final system
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
 def _make_batch_fn(
     scen_cfg: ScenarioConfig,
     beam_cfg: BeamConfig,
     opt_cfg: OptimizerConfig,
     refine: int,
     pivot_tol: float,
+    use_pallas: bool,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    data_axis: str = "data",
 ):
-    def one_sample(key):
-        scenario = sample_scenario(key, scen_cfg)
-        res = optimize_beam(scenario, beam_cfg, opt_cfg, refine=refine)
-        pivot = beam_min_pivot(res.I_solved, scenario, beam_cfg.E, beam_cfg.A)
-        finite = (
-            jnp.all(jnp.isfinite(res.I))
-            & jnp.all(jnp.isfinite(res.solution.displacements))
+    """Build (and cache) the jitted batch program.
+
+    The configs are frozen dataclasses, so they key an lru_cache — without
+    this, every ``generate_batch`` call would construct a fresh ``jax.jit``
+    wrapper and recompile the ~10s while_loop program from scratch (jit's
+    own cache lives on the wrapper object).
+    """
+    from openpystruct_tpu.opt.beam_opt import optimize_beam_batched
+
+    def batch_fn(keys):
+        scenario = jax.vmap(lambda k: sample_scenario(k, scen_cfg))(keys)
+        scenario = jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            scenario,
+        )
+        res = optimize_beam_batched(
+            scenario, beam_cfg, opt_cfg, refine=refine,
+            use_pallas=use_pallas,
+        )
+        pivot = jax.vmap(
+            lambda I, sc: beam_min_pivot(I, sc, beam_cfg.E, beam_cfg.A)
+        )(res.I_solved, scenario)
+        finite = jnp.all(jnp.isfinite(res.I), axis=-1) & jnp.all(
+            jnp.isfinite(res.solution.displacements), axis=(-2, -1)
         )
         valid = finite & (pivot > pivot_tol)
         return DatagenBatch(
             scenario=scenario, result=res, valid=valid, residual=pivot
         )
 
-    return jax.vmap(one_sample)
+    if mesh is not None:
+        # Each device runs the whole (pallas-kernel-bearing) program on its
+        # local shard; no cross-device communication is needed because the
+        # samples are independent — the share-nothing structure the
+        # reference gets from loky, here over ICI-attached chips.
+        spec = jax.sharding.PartitionSpec(data_axis)
+        return jax.jit(
+            jax.shard_map(
+                batch_fn, mesh=mesh, in_specs=spec, out_specs=spec,
+                check_vma=False,
+            )
+        )
+    return jax.jit(batch_fn)
 
 
 def generate_batch(
@@ -74,6 +111,7 @@ def generate_batch(
     pivot_tol: float = 1e-9,
     mesh: Optional[jax.sharding.Mesh] = None,
     data_axis: str = "data",
+    use_pallas: Optional[bool] = None,
 ) -> DatagenBatch:
     """Generate and optimize ``batch_size`` random scenarios in one program.
 
@@ -83,16 +121,18 @@ def generate_batch(
     """
     if beam_cfg is None:
         beam_cfg = BeamConfig(udl=scen_cfg.udl)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     keys = jax.random.split(key, batch_size)
-    fn = _make_batch_fn(scen_cfg, beam_cfg, opt_cfg, refine, pivot_tol)
+    fn = _make_batch_fn(
+        scen_cfg, beam_cfg, opt_cfg, refine, pivot_tol, use_pallas,
+        mesh, data_axis,
+    )
     if mesh is not None:
         sharding = jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec(data_axis)
         )
         keys = jax.device_put(keys, sharding)
-        fn = jax.jit(fn, in_shardings=(sharding,))
-    else:
-        fn = jax.jit(fn)
     return fn(keys)
 
 
@@ -107,6 +147,7 @@ def generate_dataset(
     pivot_tol: float = 1e-9,
     mesh: Optional[jax.sharding.Mesh] = None,
     progress: bool = False,
+    use_pallas: Optional[bool] = None,
 ) -> dict:
     """Generate ``num_samples`` scenarios in fixed-size batches and return a
     columnar host-side dict in the reference's 13-key dataset schema
@@ -121,10 +162,91 @@ def generate_dataset(
         b = min(batch_size, num_samples - done)
         key, sub = jax.random.split(key)
         batch = generate_batch(
-            sub, b, scen_cfg, beam_cfg, opt_cfg, refine, pivot_tol, mesh
+            sub, b, scen_cfg, beam_cfg, opt_cfg, refine, pivot_tol, mesh,
+            use_pallas=use_pallas,
         )
         chunks.append(batch_to_columnar(batch))
         done += b
         if progress:
             print(f"{done} samples processed.")
     return merge_columnar(chunks)
+
+
+def _json_fields(batch) -> dict:
+    """Pull (only) the arrays the JSON schema needs to the host.
+
+    The full DatagenBatch carries ~4x more data (displacement fields,
+    end-force tables, optimizer state) than the dataset schema uses;
+    transferring it all is pure waste — painfully so over remote-device
+    links.
+    """
+    return dict(
+        node_x=np.asarray(batch.scenario.node_x),
+        roller=np.asarray(batch.scenario.roller_mask),
+        loads=np.asarray(batch.scenario.point_loads),
+        I=np.asarray(batch.result.I),
+        shear=np.asarray(batch.result.solution.shear_forces),
+        moment=np.asarray(batch.result.solution.bending_moments),
+        defl=np.asarray(batch.result.solution.deflections),
+        rot=np.asarray(batch.result.solution.rotations),
+        valid=np.asarray(batch.valid),
+    )
+
+
+def _concat_fields(chunks):
+    return {
+        k: np.concatenate([c[k] for c in chunks], axis=0) for k in chunks[0]
+    }
+
+
+def generate_dataset_json(
+    key,
+    num_samples: int,
+    path: str,
+    batch_size: int = 8192,
+    scen_cfg: ScenarioConfig = ScenarioConfig(),
+    beam_cfg: Optional[BeamConfig] = None,
+    opt_cfg: OptimizerConfig = DATAGEN_OPT,
+    refine: int = 1,
+    pivot_tol: float = 1e-9,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    progress: bool = False,
+    use_pallas: Optional[bool] = None,
+) -> int:
+    """Generate ``num_samples`` and write the reference-schema JSON straight
+    to ``path`` through the native C++ writer (falls back to the Python
+    serializer without a toolchain).  Returns the number of valid samples
+    written.  This is the fast end-to-end path: the Python per-sample
+    conversion otherwise dominates once generation runs at ~8k samples/s.
+    """
+    from openpystruct_tpu.datagen.io import (
+        batch_to_columnar,
+        write_json_dataset,
+    )
+    from openpystruct_tpu.datagen.native import (
+        native_available,
+        write_json_dataset_native,
+    )
+
+    chunks = []
+    done = 0
+    while done < num_samples:
+        b = min(batch_size, num_samples - done)
+        key, sub = jax.random.split(key)
+        batch = generate_batch(
+            sub, b, scen_cfg, beam_cfg, opt_cfg, refine, pivot_tol,
+            mesh, use_pallas=use_pallas,
+        )
+        chunks.append(_json_fields(batch))
+        done += b
+        if progress:
+            print(f"{done} samples processed.")
+    merged = _concat_fields(chunks)
+    if native_available():
+        return write_json_dataset_native(merged, path)
+    # fallback: a minimal DatagenBatch-shaped shim for the Python writer
+    from openpystruct_tpu.datagen.io import columnar_from_fields
+
+    cols = columnar_from_fields(merged)
+    write_json_dataset(cols, path)
+    return len(cols["I_values"])

@@ -38,16 +38,33 @@ def batch_to_columnar(batch) -> dict:
     OpenPyStruct_BeamOpt_training_MultiCore.py:264-265)."""
     sc = batch.scenario
     res = batch.result
-    valid = np.asarray(batch.valid)
+    return columnar_from_fields(
+        dict(
+            node_x=np.asarray(sc.node_x),
+            roller=np.asarray(sc.roller_mask),
+            loads=np.asarray(sc.point_loads),
+            I=np.asarray(res.I),
+            shear=np.asarray(res.solution.shear_forces),
+            moment=np.asarray(res.solution.bending_moments),
+            defl=np.asarray(res.solution.deflections),
+            rot=np.asarray(res.solution.rotations),
+            valid=np.asarray(batch.valid),
+        )
+    )
 
-    node_x = np.asarray(sc.node_x)
-    roller_mask = np.asarray(sc.roller_mask)
-    loads = np.asarray(sc.point_loads)
-    I = np.asarray(res.I)
-    shear = np.asarray(res.solution.shear_forces)
-    moment = np.asarray(res.solution.bending_moments)
-    rot = np.asarray(res.solution.rotations)
-    defl = np.asarray(res.solution.deflections)
+
+def columnar_from_fields(fields: dict) -> dict:
+    """Fields dict (node_x, roller, loads, I, shear, moment, defl, rot,
+    valid — all (B, ...) numpy arrays) -> 13-key columnar schema."""
+    valid = np.asarray(fields["valid"])
+    node_x = np.asarray(fields["node_x"])
+    roller_mask = np.asarray(fields["roller"])
+    loads = np.asarray(fields["loads"])
+    I = np.asarray(fields["I"])
+    shear = np.asarray(fields["shear"])
+    moment = np.asarray(fields["moment"])
+    rot = np.asarray(fields["rot"])
+    defl = np.asarray(fields["defl"])
 
     out = {k: [] for k in SCHEMA_KEYS}
     for b in np.nonzero(valid)[0]:

@@ -173,3 +173,56 @@ def solve_beam(
         bending_moments=end_forces[:, 2],
         end_forces=end_forces,
     )
+
+
+def solve_beam_batched(
+    I,
+    scenario: BeamScenario,
+    E,
+    A,
+    refine: int = 0,
+    use_pallas: bool = True,
+    interpret: bool = False,
+) -> BeamSolution:
+    """Batched linear static solve: ``I`` is (B, nelem) and every leaf of
+    ``scenario`` carries a leading batch dim.
+
+    This is the production datagen/optimizer path: assembly and force
+    recovery vmap, while the solve itself runs the Pallas block-Thomas
+    kernel on the whole batch (~30x the per-sample ``lax.scan`` route on a
+    v5e; set ``use_pallas=False`` to fall back, ``interpret=True`` for CPU
+    testing of the kernel).
+    """
+    from openpystruct_tpu.ops.block_tridiag import pallas_solve_sym
+
+    diag, upper, f = jax.vmap(
+        lambda I, sc: assemble_beam_system(I, sc, E, A)
+    )(I, scenario)
+
+    d = jnp.diagonal(diag, axis1=-2, axis2=-1)  # (B, n, 3)
+    s = jax.lax.rsqrt(d)
+    diag_s = diag * s[..., :, None] * s[..., None, :]
+    upper_s = upper * s[..., :-1, :, None] * s[..., 1:, None, :]
+    f_s = f * s
+    if use_pallas:
+        u = pallas_solve_sym(diag_s, upper_s, f_s, refine, interpret)
+    else:
+        u = jax.vmap(lambda d, up, b: block_tridiag_solve(d, up, b,
+                                                          refine=refine))(
+            diag_s, upper_s, f_s
+        )
+    u = u * s
+
+    u_e = jnp.concatenate([u[..., :-1, :], u[..., 1:, :]], axis=-1)
+    Le = jnp.diff(scenario.node_x, axis=-1)
+    end_forces = element_end_forces(
+        u_e, E, A, I, Le, scenario.udl[..., None]
+    )
+    return BeamSolution(
+        displacements=u,
+        deflections=u[..., 1],
+        rotations=u[..., 2],
+        shear_forces=end_forces[..., 1],
+        bending_moments=end_forces[..., 2],
+        end_forces=end_forces,
+    )

@@ -1,0 +1,268 @@
+"""Batched block-tridiagonal (3x3 blocks) Thomas solver as a Pallas kernel.
+
+This is the FE hot loop of the whole framework (SURVEY.md section 7 step 1):
+every beam FEA solve in the optimizer/datagen is one symmetric
+block-tridiagonal system.  The ``lax.scan`` reference implementation in
+``fem.solve`` round-trips HBM on every one of the ~101 recurrence steps; this
+kernel keeps the entire factorization state in VMEM and lays the scenario
+batch across the vector lanes, so each Thomas step is pure (sublane, lane)
+element-wise VPU work:
+
+  layout: (grid tile, n, 3, 3, SUB, 128) — a (SUB, 128) slab per matrix
+  component, one scenario per lane; all 3x3 algebra is unrolled Python over
+  static component indices.
+
+The kernel assumes the symmetric case (lower = upper^T), which is what the
+beam stiffness produces (OpenSees BandSPD, OpenPyStruct_BeamOpt.py:122).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SUB = 4       # sublanes per slab (4 keeps total VMEM under the 16MB core
+              # limit: scratch + double-buffered inputs ~ 10.5MB at n=101)
+LANES = 128   # lanes per slab
+TILE = SUB * LANES  # scenarios per grid program
+
+
+def _inv3_slabs(m):
+    """Cofactor inverse of a 3x3 block whose components are (SUB, 128)
+    slabs.  m: list[3][3]; returns the same structure."""
+    a, b, c = m[0]
+    d, e, f = m[1]
+    g, h, i = m[2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    D = -(b * i - c * h)
+    E = a * i - c * g
+    F = -(a * h - b * g)
+    G = b * f - c * e
+    H = -(a * f - c * d)
+    I = a * e - b * d
+    inv_det = 1.0 / (a * A + b * B + c * C)
+    return [
+        [A * inv_det, D * inv_det, G * inv_det],
+        [B * inv_det, E * inv_det, H * inv_det],
+        [C * inv_det, F * inv_det, I * inv_det],
+    ]
+
+
+def _mm(m1, m2):
+    return [
+        [sum(m1[a][k] * m2[k][b] for k in range(3)) for b in range(3)]
+        for a in range(3)
+    ]
+
+
+def _mv(m, v):
+    return [sum(m[a][k] * v[k] for k in range(3)) for a in range(3)]
+
+
+def _sub_m(m1, m2):
+    return [[m1[a][b] - m2[a][b] for b in range(3)] for a in range(3)]
+
+
+def _sub_v(v1, v2):
+    return [v1[a] - v2[a] for a in range(3)]
+
+
+def _t(m):
+    return [[m[b][a] for b in range(3)] for a in range(3)]
+
+
+def _read_mat(ref, i):
+    return [[ref[0, i, a, b] for b in range(3)] for a in range(3)]
+
+
+def _read_vec(ref, i):
+    return [ref[0, i, a] for a in range(3)]
+
+
+def _write_mat(ref, i, m):
+    for a in range(3):
+        for b in range(3):
+            ref[i, a, b] = m[a][b]
+
+
+def _write_vec(ref, i, v, lead=None):
+    for a in range(3):
+        if lead is None:
+            ref[i, a] = v[a]
+        else:
+            ref[lead, i, a] = v[a]
+
+
+def _thomas_kernel(diag_ref, upper_ref, b_ref, x_ref, c_scr, y_scr):
+    """One grid program solves TILE scenarios end-to-end in VMEM.
+
+    diag_ref: (1, n, 3, 3, SUB, LANES); upper_ref: same, zero-padded at the
+    last block; b_ref/x_ref: (1, n, 3, SUB, LANES);
+    c_scr: (n, 3, 3, SUB, LANES); y_scr: (n, 3, SUB, LANES).
+    """
+    n = diag_ref.shape[1]
+
+    sinv0 = _inv3_slabs(_read_mat(diag_ref, 0))
+    _write_mat(c_scr, 0, _mm(sinv0, _read_mat(upper_ref, 0)))
+    for a in range(3):
+        y_scr[0, a] = _mv(sinv0, _read_vec(b_ref, 0))[a]
+
+    def fwd(i, _):
+        lm = _t(_read_mat(upper_ref, i - 1))
+        c_prev = [[c_scr[i - 1, a, b] for b in range(3)] for a in range(3)]
+        s = _sub_m(_read_mat(diag_ref, i), _mm(lm, c_prev))
+        sinv = _inv3_slabs(s)
+        _write_mat(c_scr, i, _mm(sinv, _read_mat(upper_ref, i)))
+        y_prev = [y_scr[i - 1, a] for a in range(3)]
+        y = _mv(sinv, _sub_v(_read_vec(b_ref, i), _mv(lm, y_prev)))
+        for a in range(3):
+            y_scr[i, a] = y[a]
+        return 0
+
+    jax.lax.fori_loop(1, n, fwd, 0)
+
+    for a in range(3):
+        x_ref[0, n - 1, a] = y_scr[n - 1, a]
+
+    def bwd(k, _):
+        i = n - 2 - k
+        c_i = [[c_scr[i, a, b] for b in range(3)] for a in range(3)]
+        x_next = [x_ref[0, i + 1, a] for a in range(3)]
+        x = _sub_v([y_scr[i, a] for a in range(3)], _mv(c_i, x_next))
+        for a in range(3):
+            x_ref[0, i, a] = x[a]
+        return 0
+
+    jax.lax.fori_loop(0, n - 1, bwd, 0)
+
+
+def _to_slabs(x, n_tail):
+    """(B, n, *tail) -> (T, n, *tail, SUB, LANES) with B padded to T*TILE."""
+    B = x.shape[0]
+    T = max((B + TILE - 1) // TILE, 1)
+    pad = T * TILE - B
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
+        )
+    # (T, SUB, LANES, n, *tail) -> (T, n, *tail, SUB, LANES)
+    x = x.reshape((T, SUB, LANES) + x.shape[1:])
+    perm = (0,) + tuple(range(3, 3 + 1 + n_tail)) + (1, 2)
+    return x.transpose(perm), B, T
+
+
+def _from_slabs(x, B):
+    """(T, n, 3, SUB, LANES) -> (B, n, 3)."""
+    x = x.transpose(0, 3, 4, 1, 2)  # (T, SUB, LANES, n, 3)
+    return x.reshape((-1,) + x.shape[3:])[:B]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def pallas_solve_sym(diag, upper, b, refine=0, interpret=False):
+    """Differentiable batched symmetric solve with optional compensated
+    iterative refinement (same semantics as ``fem.solve.block_tridiag_solve``
+    but running the Pallas kernel).  The adjoint is one extra batched solve
+    (K symmetric), making this a drop-in for the datagen/optimizer hot loop.
+    """
+    return _pallas_refined(diag, upper, b, refine, interpret)
+
+
+def _pallas_refined(diag, upper, b, refine, interpret):
+    from openpystruct_tpu.fem.solve import (
+        block_tridiag_residual_compensated,
+    )
+
+    x = pallas_block_tridiag_solve(diag, upper, b, interpret=interpret)
+    for _ in range(refine):
+        r = jax.vmap(block_tridiag_residual_compensated)(diag, upper, b, x)
+        x = x + pallas_block_tridiag_solve(diag, upper, r,
+                                           interpret=interpret)
+    return x
+
+
+def _pallas_solve_fwd(diag, upper, b, refine, interpret):
+    x = _pallas_refined(diag, upper, b, refine, interpret)
+    return x, (diag, upper, x)
+
+
+def _pallas_solve_bwd(refine, interpret, res, g):
+    diag, upper, x = res
+    lam = _pallas_refined(diag, upper, g, refine, interpret)
+    diag_bar = -lam[..., :, None] * x[..., None, :]
+    # stored upper feeds K twice (upper band + transposed lower band):
+    # upper_bar[i] = -lam_i x_{i+1}^T - x_i lam_{i+1}^T
+    upper_bar = (
+        -lam[..., :-1, :, None] * x[..., 1:, None, :]
+        - x[..., :-1, :, None] * lam[..., 1:, None, :]
+    )
+    return diag_bar, upper_bar, lam
+
+
+pallas_solve_sym.defvjp(_pallas_solve_fwd, _pallas_solve_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_block_tridiag_solve(diag, upper, b, interpret=False):
+    """Solve K x = b for a batch of symmetric block-tridiagonal systems.
+
+    Args:
+      diag: (B, n, 3, 3) diagonal blocks.
+      upper: (B, n-1, 3, 3) super-diagonal blocks (lower = upper^T).
+      b: (B, n, 3) right-hand sides.
+      interpret: run the kernel in interpreter mode (CPU testing).
+
+    Returns (B, n, 3) solutions.  Systems are padded to the lane tile with
+    identity blocks, so padding never divides by zero.
+    """
+    Bsz, n = diag.shape[0], diag.shape[1]
+    dtype = diag.dtype
+
+    # zero-pad upper to n blocks; identity-fill the batch padding
+    upper_p = jnp.concatenate(
+        [upper, jnp.zeros((Bsz, 1, 3, 3), dtype)], axis=1
+    )
+    diag_s, B0, T = _to_slabs(diag, 2)
+    upper_s, _, _ = _to_slabs(upper_p, 2)
+    b_s, _, _ = _to_slabs(b, 1)
+    if T * TILE > B0:
+        # make padded diagonals identity so the factorization stays finite
+        eye = jnp.eye(3, dtype=dtype)[None, None, :, :, None, None]
+        # mask of padded lanes, in slab coordinates
+        lane_ids = jnp.arange(T * TILE).reshape(T, SUB, LANES)
+        padmask = jnp.broadcast_to(
+            (lane_ids >= B0)[:, None, None, None, :, :], diag_s.shape
+        )
+        diag_s = jnp.where(padmask, eye, diag_s)
+
+    grid_spec = pl.GridSpec(
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, n, 3, 3, SUB, LANES), lambda t: (t, 0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 3, 3, SUB, LANES), lambda t: (t, 0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, 3, SUB, LANES), lambda t: (t, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n, 3, SUB, LANES), lambda t: (t, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n, 3, 3, SUB, LANES), dtype),
+            pltpu.VMEM((n, 3, SUB, LANES), dtype),
+        ],
+    )
+    x_s = pl.pallas_call(
+        _thomas_kernel,
+        out_shape=jax.ShapeDtypeStruct((T, n, 3, SUB, LANES), dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(diag_s, upper_s, b_s)
+    return _from_slabs(x_s, B0)

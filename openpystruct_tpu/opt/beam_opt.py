@@ -84,7 +84,9 @@ def optimize_beam(
     E, G, A = beam.E, beam.G, beam.A
 
     def eval_loss(I):
-        sol = solve_beam(I, scenario, E, A, refine=refine)
+        # see optimize_beam_batched: in semi mode the solve is a constant
+        I_solve = jax.lax.stop_gradient(I) if opt.grad_mode == "semi" else I
+        sol = solve_beam(I_solve, scenario, E, A, refine=refine)
         comps = structural_loss(
             I,
             sol.bending_moments,
@@ -167,4 +169,127 @@ def optimize_beam(
         n_epochs=c["epoch"],
         converged=c["done"],
         loss_history=c["hist"],
+    )
+
+
+def optimize_beam_batched(
+    scenario: BeamScenario,
+    beam: BeamConfig = BeamConfig(),
+    opt: OptimizerConfig = OptimizerConfig(),
+    I0: Optional[jax.Array] = None,
+    refine: int = 0,
+    use_pallas: bool = True,
+    interpret: bool = False,
+) -> BeamOptResult:
+    """Explicitly-batched optimizer: every leaf of ``scenario`` has a
+    leading batch dim, the FE solves run the Pallas kernel on the whole
+    batch, and each lane carries its own early-stopping state (converged
+    lanes freeze, exactly like ``vmap(optimize_beam)``).
+
+    Adam + per-epoch exponential lr decay are inlined with torch-identical
+    math (bias-corrected moments, lr_t = lr * gamma^t, post-step clamp);
+    the trajectory therefore matches ``optimize_beam`` whose own parity with
+    the reference's torch loop is tested step-for-step.
+    """
+    from openpystruct_tpu.fem.beam import solve_beam_batched
+
+    B = scenario.node_x.shape[0]
+    nelem = scenario.node_x.shape[-1] - 1
+    if I0 is None:
+        I0 = jnp.full((B, nelem), beam.I0, dtype=jnp.float32)
+    dtype = I0.dtype
+
+    E, G, A = beam.E, beam.G, beam.A
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    def eval_loss(I):
+        # Semi-gradient mode treats the whole FE solve as a constant per
+        # iteration (the reference's fresh-leaf-tensor semantics,
+        # OpenPyStruct_BeamOpt.py:150-151) — stopping I at the solve input
+        # lets XLA skip the entire assembly/solve backward pass.
+        I_solve = jax.lax.stop_gradient(I) if opt.grad_mode == "semi" else I
+        sol = solve_beam_batched(
+            I_solve, scenario, E, A, refine=refine, use_pallas=use_pallas,
+            interpret=interpret,
+        )
+        comps = jax.vmap(
+            lambda I, M, V: structural_loss(
+                I, M, V, E, G, opt.alpha_moment, opt.alpha_shear,
+                grad_mode=opt.grad_mode,
+            )
+        )(I, sol.bending_moments, sol.shear_forces)
+        # independent samples: summing gives each lane its own gradient
+        return jnp.sum(comps.total), (sol, comps)
+
+    grad_fn = jax.value_and_grad(eval_loss, has_aux=True)
+    sol0, comps0 = eval_loss(I0)[1]
+    loss_dtype = comps0.total.dtype
+
+    carry0 = dict(
+        I=I0,
+        I_solved=I0,
+        mu=jnp.zeros_like(I0),
+        nu=jnp.zeros_like(I0),
+        epoch=jnp.asarray(0, jnp.int32),
+        n_epochs=jnp.zeros((B,), jnp.int32),
+        best=jnp.full((B,), jnp.inf, loss_dtype),
+        no_improve=jnp.zeros((B,), jnp.int32),
+        done=jnp.zeros((B,), bool),
+        sol=sol0,
+        comps=comps0,
+    )
+
+    def cond(c):
+        return jnp.any(~c["done"]) & (c["epoch"] < opt.max_epochs)
+
+    def body(c):
+        (_, (sol, comps)), g = grad_fn(c["I"])
+        active = ~c["done"]
+        am = active[:, None]
+
+        t = (c["epoch"] + 1).astype(dtype)
+        lr_t = opt.lr * opt.lr_gamma ** c["epoch"].astype(dtype)
+        mu = jnp.where(am, b1 * c["mu"] + (1 - b1) * g, c["mu"])
+        nu = jnp.where(am, b2 * c["nu"] + (1 - b2) * g * g, c["nu"])
+        mu_hat = mu / (1 - b1**t)
+        nu_hat = nu / (1 - b2**t)
+        I_step = c["I"] - lr_t * mu_hat / (jnp.sqrt(nu_hat) + eps)
+        I_new = jnp.where(am, jnp.maximum(I_step, opt.clamp_min), c["I"])
+
+        total = comps.total
+        improved = total < c["best"] - opt.tolerance
+        best = jnp.where(active & improved, total, c["best"])
+        no_improve = jnp.where(
+            active, jnp.where(improved, 0, c["no_improve"] + 1),
+            c["no_improve"],
+        )
+        done = c["done"] | (no_improve >= opt.patience)
+
+        def freeze(new, old):
+            mask = active.reshape((B,) + (1,) * (new.ndim - 1))
+            return jnp.where(mask, new, old)
+
+        return dict(
+            I=I_new,
+            I_solved=jnp.where(am, c["I"], c["I_solved"]),
+            mu=mu,
+            nu=nu,
+            epoch=c["epoch"] + 1,
+            n_epochs=c["n_epochs"] + active.astype(jnp.int32),
+            best=best,
+            no_improve=no_improve,
+            done=done,
+            sol=jax.tree.map(freeze, sol, c["sol"]),
+            comps=jax.tree.map(freeze, comps, c["comps"]),
+        )
+
+    c = jax.lax.while_loop(cond, body, carry0)
+    return BeamOptResult(
+        I=c["I"],
+        I_solved=c["I_solved"],
+        solution=c["sol"],
+        loss=c["comps"],
+        n_epochs=c["n_epochs"],
+        converged=c["done"],
+        loss_history=None,
     )
