@@ -1,0 +1,289 @@
+"""Command-line entry points.
+
+Mirrors the reference's run-a-script workflow (`python OpenPyStruct_*.py`)
+as subcommands of one CLI:
+
+  python -m openpystruct_tpu beam-opt   — single-load beam optimizer
+                                           (OpenPyStruct_BeamOpt.py)
+  python -m openpystruct_tpu frame-opt  — 2D frame optimizer
+                                           (OpenPyStruct_FrameOpt_Discrete_Beta.py)
+  python -m openpystruct_tpu datagen    — dataset generation (SingleCore /
+                                           MultiCore / GPU drivers)
+  python -m openpystruct_tpu train      — any surrogate family on a dataset
+                                           (the seven *_MultiCase scripts)
+  python -m openpystruct_tpu bench      — the headline benchmark
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_beam_opt(sub):
+    p = sub.add_parser("beam-opt", help="single-load beam I optimization")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--epochs", type=int, default=1000)
+    p.add_argument("--plot", type=str, default=None,
+                   help="save diagnostics figure to this path")
+    p.add_argument("--refine", type=int, default=1)
+
+
+def _add_frame_opt(sub):
+    p = sub.add_parser("frame-opt", help="2D frame I optimization")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bays", type=int, default=None,
+                   help="default: random 1-10 like the reference")
+    p.add_argument("--stories", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=5000)
+    p.add_argument("--plot", type=str, default=None)
+
+
+def _add_datagen(sub):
+    p = sub.add_parser("datagen", help="generate a training dataset")
+    p.add_argument("--num-samples", type=int, default=100000)
+    p.add_argument("--batch-size", type=int, default=8192)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--output", type=str, default="training_data_PINN_mini.json")
+    p.add_argument("--random-bridge", action="store_true",
+                   help="randomize length and roller layout (flag=1)")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard over all local devices")
+    p.add_argument("--refine", type=int, default=1)
+
+
+def _add_train(sub):
+    p = sub.add_parser("train", help="train a surrogate family")
+    p.add_argument("--model", required=True,
+                   choices=["fnn", "pinn", "fno", "gnn", "tfd", "bnn",
+                            "bnn-meta"])
+    p.add_argument("--data", required=True, help="dataset JSON path")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--epochs", type=int, default=None,
+                   help="override the family's reference epoch budget")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="directory for the best-model orbax checkpoint")
+    p.add_argument("--epochs-per-sync", type=int, default=10)
+    p.add_argument("--mesh", action="store_true")
+    p.add_argument("--plot", type=str, default=None)
+
+
+def cmd_beam_opt(args):
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from openpystruct_tpu.config import BeamConfig, OptimizerConfig, ScenarioConfig
+    from openpystruct_tpu.datagen.sampler import sample_scenario
+    from openpystruct_tpu.opt import optimize_beam
+
+    # BeamOpt's own scenario distribution: 5 rollers with 15-node minimum
+    # spacing, 5 forces in [max/2, max], udl -5000
+    # (OpenPyStruct_BeamOpt.py:24-80).  The shared sampler covers the
+    # datagen distribution; here we draw rollers with spacing on the host.
+    rng = np.random.default_rng(args.seed)
+    n, L = 101, 200.0
+    rollers = []
+    avail = list(range(2, n))
+    while len(rollers) < 5 and avail:
+        cand = int(rng.choice(avail))
+        if all(abs(cand - r) >= 15 for r in rollers):
+            rollers.append(cand)
+        avail.remove(cand)
+    force_nodes = rng.choice(
+        [x for x in range(2, n) if x not in rollers], size=5, replace=False
+    )
+    # random.uniform(0.5*max_force, max_force) in the reference spans
+    # [-355857, -177928.5] regardless of argument order
+    force_vals = rng.uniform(-355857.0, 0.5 * -355857.0, size=5)
+
+    import jax.numpy as jnp
+
+    from openpystruct_tpu.fem import BeamScenario
+
+    sc = BeamScenario(
+        node_x=jnp.linspace(0.0, L, n, dtype=jnp.float32),
+        roller_mask=jnp.zeros(n, bool).at[jnp.array(rollers) - 1].set(True),
+        point_loads=jnp.zeros(n, jnp.float32)
+        .at[jnp.asarray(force_nodes) - 1]
+        .set(jnp.asarray(force_vals, jnp.float32)),
+        udl=jnp.asarray(-5000.0, jnp.float32),
+    )
+    beam = BeamConfig(udl=-5000.0)
+    opt = OptimizerConfig(max_epochs=args.epochs)
+    t0 = time.time()
+    res = jax.jit(
+        lambda s: optimize_beam(s, beam, opt, refine=args.refine,
+                                record_history=True)
+    )(sc)
+    ne = int(res.n_epochs)
+    h = np.asarray(res.loss_history)
+    print(f"converged={bool(res.converged)} epochs={ne} "
+          f"wall={time.time()-t0:.2f}s")
+    print(f"Total Loss: {h[ne-1,0]:.6f}")
+    print(f"Primary Loss: {h[ne-1,1]:.6f}")
+    print(f"Bending Energy: {h[ne-1,2]:.6f}, Shear Energy: {h[ne-1,3]:.6f}")
+    if args.plot:
+        from openpystruct_tpu.viz import plot_beam_diagrams, plot_loss_history
+
+        fig = plot_beam_diagrams(
+            np.asarray(sc.node_x), np.asarray(res.I),
+            np.asarray(res.solution.shear_forces),
+            np.asarray(res.solution.bending_moments),
+            roller_idx=[r - 1 for r in rollers],
+            force_idx=(force_nodes - 1).tolist(),
+            force_values=force_vals.tolist(),
+        )
+        fig.savefig(args.plot)
+        plot_loss_history(h).savefig(args.plot + ".loss.png")
+        print(f"plots saved to {args.plot}")
+
+
+def cmd_frame_opt(args):
+    import random as pyrandom
+
+    import jax
+    import numpy as np
+
+    from openpystruct_tpu.config import FrameConfig
+    from openpystruct_tpu.fem import build_frame
+    from openpystruct_tpu.opt import optimize_frame
+
+    pyrandom.seed(args.seed)
+    bays = args.bays or pyrandom.randint(1, 10)
+    stories = args.stories or pyrandom.randint(1, 10)
+    print(f"Generated frame with {bays} bay(s) and {stories} story(ies).")
+    cfg = FrameConfig(max_epochs=args.epochs)
+    st = build_frame(bays, stories, cfg)
+    t0 = time.time()
+    res = jax.jit(lambda: optimize_frame(st, cfg, record_history=True))()
+    ne = int(res.n_epochs)
+    h = np.asarray(res.loss_history)
+    print(f"converged={bool(res.converged)} epochs={ne} "
+          f"wall={time.time()-t0:.2f}s  best loss={np.nanmin(h):.6e}")
+    if args.plot:
+        from openpystruct_tpu.viz import plot_frame
+
+        plot_frame(st, np.asarray(res.I)).savefig(args.plot)
+        print(f"plot saved to {args.plot}")
+
+
+def cmd_datagen(args):
+    import jax
+
+    from openpystruct_tpu.config import DATAGEN_OPT, ScenarioConfig
+    from openpystruct_tpu.datagen import generate_dataset_json
+
+    scen = ScenarioConfig(random_bridge=args.random_bridge)
+    mesh = None
+    if args.mesh:
+        from openpystruct_tpu.parallel import default_mesh
+
+        mesh = default_mesh()
+    t0 = time.time()
+    n = generate_dataset_json(
+        jax.random.PRNGKey(args.seed), args.num_samples, args.output,
+        batch_size=args.batch_size, scen_cfg=scen, opt_cfg=DATAGEN_OPT,
+        refine=args.refine, mesh=mesh, progress=True,
+    )
+    dt = time.time() - t0
+    print("Data generation complete.")
+    print(f"Total execution time: {dt:.2f} seconds "
+          f"({n / dt:.0f} samples/sec); {n} valid samples -> {args.output}")
+
+
+def cmd_train(args):
+    import dataclasses
+
+    import jax
+
+    from openpystruct_tpu.data import prepare_dataset
+    from openpystruct_tpu.datagen import read_json_dataset
+    from openpystruct_tpu.families import build_family, FAMILIES
+    from openpystruct_tpu.train import evaluate_r2, fit, save_checkpoint
+
+    spec = FAMILIES[args.model]
+    cfg = spec.train
+    if args.epochs:
+        cfg = dataclasses.replace(cfg, num_epochs=args.epochs)
+
+    data = read_json_dataset(args.data)
+    ds = prepare_dataset(
+        data, n_cases=cfg.n_cases, c=cfg.c, agg=spec.agg, seed=args.seed,
+        nheads_pad=spec.nheads_pad, extra_label_keys=spec.extra_label_keys,
+    )
+    nelem = len(data["I_values"][0])
+    model, spec, fit_kwargs = build_family(
+        args.model, ds.feat_dim, nelem=nelem, label_dim=ds.label_dim
+    )
+    mesh = None
+    if args.mesh:
+        from openpystruct_tpu.parallel import default_mesh
+
+        mesh = default_mesh()
+    t0 = time.time()
+    res = fit(
+        model, ds.X_train, ds.Y_train, ds.X_val, ds.Y_val, cfg,
+        rng=jax.random.PRNGKey(args.seed), mesh=mesh,
+        epochs_per_sync=args.epochs_per_sync, verbose=True, **fit_kwargs,
+    )
+    dt = time.time() - t0
+    r2 = evaluate_r2(
+        model, res.params, ds.X_val, ds.Y_val, ds.scaler_Y,
+        model_rng_keys=spec.model_rng_keys, batch_stats=res.batch_stats,
+    )
+    ep = len(res.train_losses)
+    print(f"{ep} epochs in {dt:.1f}s "
+          f"({ep * len(ds.X_train) / dt:.0f} samples/sec)")
+    print(f"R² on Validation: {r2:.4f}")
+    if args.checkpoint:
+        tree = {"params": res.params}
+        if res.batch_stats is not None:
+            tree["batch_stats"] = res.batch_stats
+        save_checkpoint(args.checkpoint, tree)
+        print(f"best checkpoint saved to {args.checkpoint}")
+    if args.plot:
+        from openpystruct_tpu.viz import plot_train_val_losses
+
+        plot_train_val_losses(res.train_losses, res.val_losses).savefig(
+            args.plot
+        )
+
+
+def cmd_bench(args):
+    import runpy
+
+    sys.argv = ["bench.py"]
+    import os
+
+    bench = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py")
+    runpy.run_path(bench, run_name="__main__")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="openpystruct_tpu",
+        description="TPU-native structural optimization framework",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    _add_beam_opt(sub)
+    _add_frame_opt(sub)
+    _add_datagen(sub)
+    _add_train(sub)
+    sub.add_parser("bench", help="run the headline benchmark")
+    args = ap.parse_args(argv)
+    {
+        "beam-opt": cmd_beam_opt,
+        "frame-opt": cmd_frame_opt,
+        "datagen": cmd_datagen,
+        "train": cmd_train,
+        "bench": cmd_bench,
+    }[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()

@@ -59,21 +59,21 @@ class BayesLinear(nn.Module):
         in_f = x.shape[-1]
         k = 1.0 / math.sqrt(in_f)
 
-        def sym_uniform(key, shape, dtype=jnp.float32):
-            # torch Linear-style U(-k, k) init for the posterior means
-            return jax.random.uniform(key, shape, dtype, -k, k)
+        def sym_uniform(key, shape):
+            # torch Linear-style U(-k, k) init for the posterior means;
+            # params pinned to float32 regardless of the x64 flag
+            return jax.random.uniform(key, shape, jnp.float32, -k, k)
+
+        def log_sigma_init(key, shape):
+            return jnp.full(shape, math.log(self.prior_sigma), jnp.float32)
 
         mu_kernel = self.param("mu_kernel", sym_uniform, (in_f, self.features))
         log_sigma_kernel = self.param(
-            "log_sigma_kernel",
-            nn.initializers.constant(math.log(self.prior_sigma)),
-            (in_f, self.features),
+            "log_sigma_kernel", log_sigma_init, (in_f, self.features)
         )
         mu_bias = self.param("mu_bias", sym_uniform, (self.features,))
         log_sigma_bias = self.param(
-            "log_sigma_bias",
-            nn.initializers.constant(math.log(self.prior_sigma)),
-            (self.features,),
+            "log_sigma_bias", log_sigma_init, (self.features,)
         )
         rng = self.make_rng("bayes")
         kw, kb = jax.random.split(rng)
@@ -153,7 +153,9 @@ class BayesianDiffusionModule(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool):
         B, Nc, F = x.shape
-        beta = jnp.linspace(self.beta_start, self.beta_end, self.T)
+        beta = jnp.linspace(
+            self.beta_start, self.beta_end, self.T, dtype=x.dtype
+        )
         alpha_cumprod = jnp.cumprod(1.0 - beta)
         rng = self.make_rng("diffusion")
         k_t, k_eps = jax.random.split(rng)

@@ -23,8 +23,8 @@ from __future__ import annotations
 from typing import Any
 
 import jax.numpy as jnp
+import jax
 from flax import linen as nn
-from jax.nn.initializers import uniform as uniform_init
 
 
 class SpectralConv1d(nn.Module):
@@ -42,11 +42,15 @@ class SpectralConv1d(nn.Module):
         modes = min(self.modes, x_ft.shape[-1])
 
         # scale * U(0,1) init, matching torch.rand scaling
-        # (OpenPyStruct_FNO_MultiCase_Beta.py:349-356)
+        # (OpenPyStruct_FNO_MultiCase_Beta.py:349-356); float32 params
         scale = 1.0 / (self.in_channels * self.out_channels)
         shape = (self.in_channels, self.out_channels, self.modes)
-        w_r = self.param("weights_real", uniform_init(scale), shape)
-        w_i = self.param("weights_imag", uniform_init(scale), shape)
+
+        def w_init(key, shp):
+            return jax.random.uniform(key, shp, jnp.float32, 0.0, scale)
+
+        w_r = self.param("weights_real", w_init, shape)
+        w_i = self.param("weights_imag", w_init, shape)
         w = (w_r + 1j * w_i)[:, :, :modes].astype(jnp.complex64)
 
         xm = x_ft[:, :, :modes]

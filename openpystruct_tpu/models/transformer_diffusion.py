@@ -56,7 +56,9 @@ class DiffusionModule(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, Nc, F = x.shape
-        beta = jnp.linspace(self.beta_start, self.beta_end, self.T)
+        beta = jnp.linspace(
+            self.beta_start, self.beta_end, self.T, dtype=x.dtype
+        )
         alpha_cumprod = jnp.cumprod(1.0 - beta)
 
         rng = self.make_rng("diffusion")

@@ -88,14 +88,6 @@ def _make_optimizer(cfg: TrainConfig, steps_per_epoch: int, train_alpha: bool,
     return tx
 
 
-def _batch_epoch(rng, X, Y, steps: int, batch: int):
-    """Shuffle and reshape one epoch into (steps, batch, ...)."""
-    perm = jax.random.permutation(rng, X.shape[0])[: steps * batch]
-    Xb = X[perm].reshape(steps, batch, *X.shape[1:])
-    Yb = Y[perm].reshape(steps, batch, *Y.shape[1:])
-    return Xb, Yb
-
-
 def fit(
     model,
     X_train,
@@ -111,6 +103,7 @@ def fit(
     model_rng_keys: Sequence[str] = ("dropout",),
     mesh: Optional[jax.sharding.Mesh] = None,
     data_axis: str = "data",
+    epochs_per_sync: int = 1,
     verbose: bool = False,
 ) -> FitResult:
     """Train ``model`` with the shared reference recipe.
@@ -120,6 +113,13 @@ def fit(
     (OpenPyStruct_FNN_MultiCase.py:313-314).
     param_loss_fn(model_params) -> scalar adds parameter-dependent terms
     (e.g. the Bayesian models' scaled KL).
+
+    ``epochs_per_sync``: epochs executed per device round-trip (shuffling,
+    noisy steps, val evaluation and best-checkpoint selection all run
+    on-device in one scanned program).  1 reproduces the reference's
+    per-epoch early-stop check exactly; larger values amortize host/link
+    latency and may run up to ``epochs_per_sync - 1`` epochs past the stop
+    point (the returned best checkpoint can then only be equal or better).
     """
     if rng is None:
         rng = jax.random.PRNGKey(cfg.seed)
@@ -241,61 +241,105 @@ def fit(
         _, losses = jax.lax.scan(one, rng, (Xv, Yv))
         return jnp.mean(losses)
 
-    train_epoch_j = jax.jit(train_epoch, donate_argnums=(0,))
-    val_loss_j = jax.jit(val_loss_fn)
+    def run_epochs(state, best, rng, epoch0, n_epochs):
+        """Run ``n_epochs`` epochs entirely on-device (one jitted scan):
+        shuffle, noisy train steps, per-epoch val loss, and best-checkpoint
+        selection all stay on the device — the host only syncs once per
+        chunk.  ``best`` is (best_val, best_params, best_stats)."""
+
+        def epoch_body(carry, e_idx):
+            st, best, rng = carry
+            epoch = epoch0 + 1 + e_idx
+            noise = cfg.sigma_0 * jnp.power(
+                jnp.asarray(cfg.gamma_noise, jnp.float32),
+                epoch.astype(jnp.float32),
+            )
+            rng, ks, ke, kv = jax.random.split(rng, 4)
+            perm = jax.random.permutation(ks, X_train.shape[0])[
+                : steps * batch
+            ]
+            Xe = X_train[perm].reshape(steps, batch, *X_train.shape[1:])
+            Ye = Y_train[perm].reshape(steps, batch, *Y_train.shape[1:])
+            st, tr_loss = train_epoch(st, Xe, Ye, ke, noise)
+            va_loss = val_loss_fn(st, kv)
+
+            best_val, best_params, best_stats = best
+            improved = va_loss < best_val
+            best_val = jnp.where(improved, va_loss, best_val)
+            sel = lambda new, old: jax.tree.map(
+                lambda a, b: jnp.where(improved, a, b), new, old
+            )
+            best_params = sel(st.params, best_params)
+            if has_bn:
+                best_stats = sel(st.batch_stats, best_stats)
+            return (st, (best_val, best_params, best_stats), rng), (
+                tr_loss, va_loss,
+            )
+
+        (state, best, _), (tr, va) = jax.lax.scan(
+            epoch_body, (state, best, rng), jnp.arange(n_epochs)
+        )
+        return state, best, tr, va
+
+    run_epochs_j = jax.jit(run_epochs, static_argnames=("n_epochs",))
 
     if mesh is not None:
-        from openpystruct_tpu.parallel.mesh import batch_sharding
-
-        # shard the within-batch axis (axis 1 of (steps, batch, ...))
-        sh = jax.sharding.NamedSharding(
+        rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        data_sh = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec(data_axis)
+        )
+        val_sh = jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec(None, data_axis)
         )
-        rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
-        Xv = jax.device_put(Xv, sh)
-        Yv = jax.device_put(Yv, sh)
+        X_train = jax.device_put(X_train, data_sh)
+        Y_train = jax.device_put(Y_train, data_sh)
+        Xv = jax.device_put(Xv, val_sh)
+        Yv = jax.device_put(Yv, val_sh)
         state = jax.device_put(state, rep)
 
-    best_val = float("inf")
-    best_params = jax.device_get(state.params)
-    best_stats = jax.device_get(state.batch_stats) if has_bn else None
+    best = (
+        jnp.asarray(jnp.inf, jnp.float32),
+        state.params,
+        state.batch_stats if has_bn else 0,
+    )
     best_epoch = 0
     epochs_no_improve = 0
+    best_val = float("inf")
     train_hist, val_hist = [], []
     stopped = False
+    epoch0 = 0
 
-    for epoch in range(1, cfg.num_epochs + 1):
-        noise = cfg.sigma_0 * (cfg.gamma_noise ** epoch)
-        rng, ks, ke, kv = jax.random.split(rng, 4)
-        Xe, Ye = _batch_epoch(ks, X_train, Y_train, steps, batch)
-        if mesh is not None:
-            Xe = jax.device_put(Xe, sh)
-            Ye = jax.device_put(Ye, sh)
-        state, tr_loss = train_epoch_j(state, Xe, Ye, ke, noise)
-        va_loss = val_loss_j(state, kv)
-        tr_loss, va_loss = float(tr_loss), float(va_loss)
-        train_hist.append(tr_loss)
-        val_hist.append(va_loss)
+    while epoch0 < cfg.num_epochs and not stopped:
+        chunk = min(epochs_per_sync, cfg.num_epochs - epoch0)
+        rng, sub = jax.random.split(rng)
+        state, best, tr, va = run_epochs_j(state, best, sub, epoch0, chunk)
+        tr = np.asarray(tr)
+        va = np.asarray(va)
+        for i in range(chunk):
+            epoch = epoch0 + 1 + i
+            train_hist.append(float(tr[i]))
+            val_hist.append(float(va[i]))
+            if va[i] < best_val:
+                best_val = float(va[i])
+                best_epoch = epoch
+                epochs_no_improve = 0
+            else:
+                epochs_no_improve += 1
+                if epochs_no_improve >= cfg.patience:
+                    stopped = True
+                    if verbose:
+                        print(f"Early stopping at epoch {epoch}")
+                    break
+            if verbose:
+                print(
+                    f"Epoch {epoch}/{cfg.num_epochs} | "
+                    f"Train Loss={tr[i]:.6f}, Val Loss={va[i]:.6f}"
+                )
+        epoch0 += chunk
 
-        if va_loss < best_val:
-            best_val = va_loss
-            best_params = jax.device_get(state.params)
-            if has_bn:
-                best_stats = jax.device_get(state.batch_stats)
-            best_epoch = epoch
-            epochs_no_improve = 0
-        else:
-            epochs_no_improve += 1
-            if epochs_no_improve >= cfg.patience:
-                stopped = True
-                if verbose:
-                    print(f"Early stopping at epoch {epoch}")
-                break
-        if verbose:
-            print(
-                f"Epoch {epoch}/{cfg.num_epochs} | Train Loss={tr_loss:.6f}, "
-                f"Val Loss={va_loss:.6f}"
-            )
+    _, best_params_dev, best_stats_dev = best
+    best_params = jax.device_get(best_params_dev)
+    best_stats = jax.device_get(best_stats_dev) if has_bn else None
 
     return FitResult(
         params=best_params,
