@@ -14,6 +14,7 @@ from openpystruct_tpu.datagen.generate import (
     generate_batch,
     generate_dataset,
     generate_dataset_json,
+    generate_to_shards,
 )
 from openpystruct_tpu.datagen.io import (
     batch_to_columnar,
@@ -29,6 +30,7 @@ __all__ = [
     "generate_batch",
     "generate_dataset",
     "generate_dataset_json",
+    "generate_to_shards",
     "batch_to_columnar",
     "write_json_dataset",
     "read_json_dataset",

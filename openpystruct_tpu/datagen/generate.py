@@ -11,6 +11,13 @@ nonzero (MultiCore.py:184-186).  A singular system here yields finite
 garbage rather than an error code, so validity is determined by a
 Schur-pivot singularity check on the final system plus finiteness — the
 TPU-native analog of the analyze-failure filter.
+
+Known divergence: random-bridge mode occasionally produces extremely
+ill-conditioned (but structurally valid) systems — one roller near the pin
+plus the 1e-8 I clamp gives ~5e7 stiffness contrast.  float64 OpenSees
+keeps those samples; the float32 pivot check here drops them (their float32
+solutions would be garbage anyway).  Expect ~10-25% drop rate in
+random-bridge mode, 0% in the fixed-bridge default.
 """
 
 from __future__ import annotations
@@ -250,3 +257,53 @@ def generate_dataset_json(
     cols = columnar_from_fields(merged)
     write_json_dataset(cols, path)
     return len(cols["I_values"])
+
+
+def generate_to_shards(
+    key,
+    num_samples: int,
+    shard_dir: str,
+    batch_size: int = 8192,
+    scen_cfg: ScenarioConfig = ScenarioConfig(),
+    beam_cfg: Optional[BeamConfig] = None,
+    opt_cfg: OptimizerConfig = DATAGEN_OPT,
+    refine: int = 1,
+    pivot_tol: float = 1e-9,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    progress: bool = False,
+    use_pallas: Optional[bool] = None,
+):
+    """Crash-safe incremental generation: one ``.npz`` shard per batch,
+    deterministic per-shard rng (fold_in on the shard index), and resume by
+    skipping shards already on disk — the recovery story the reference lacks
+    (its JSON is written once at the very end; a crash at sample 99,999
+    loses everything, OpenPyStruct_BeamOpt_training_SingleCore.py:263-264).
+
+    Returns the list of shard paths.
+    """
+    import os
+
+    from openpystruct_tpu.datagen.io import write_npz_shard
+
+    os.makedirs(shard_dir, exist_ok=True)
+    n_shards = (num_samples + batch_size - 1) // batch_size
+    paths = []
+    for i in range(n_shards):
+        b = min(batch_size, num_samples - i * batch_size)
+        p = os.path.join(shard_dir, f"shard_{i:05d}.npz")
+        paths.append(p)
+        if os.path.exists(p):
+            if progress:
+                print(f"shard {i}: exists, skipping")
+            continue
+        batch = generate_batch(
+            jax.random.fold_in(key, i), b, scen_cfg, beam_cfg, opt_cfg,
+            refine, pivot_tol, mesh, use_pallas=use_pallas,
+        )
+        # np.savez appends .npz to extension-less names — keep it explicit
+        tmp = p[: -len(".npz")] + ".tmp.npz"
+        write_npz_shard(batch, tmp)
+        os.replace(tmp, p)
+        if progress:
+            print(f"{(i + 1) * batch_size} samples processed.")
+    return paths

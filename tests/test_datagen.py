@@ -77,6 +77,26 @@ def test_generate_batch_valid_and_optimized():
     assert np.abs(I - 0.5).max() > 1e-3
 
 
+def test_generate_batch_random_bridge():
+    """flag=1 mode: random lengths and roller layouts end-to-end.
+
+    Random-bridge configurations can be extremely ill-conditioned (a single
+    roller near the pin leaves a ~200 m quasi-cantilever, and the 1e-8 I
+    clamp creates ~5e7 stiffness contrast); the float32 pivot check drops
+    those as unsolvable-in-f32 — a deliberate divergence from the reference,
+    whose float64 OpenSees would keep them (documented in datagen.generate).
+    """
+    cfg = ScenarioConfig(random_bridge=True)
+    batch = generate_batch(
+        jax.random.PRNGKey(7), 12, scen_cfg=cfg, opt_cfg=FAST_OPT, refine=2
+    )
+    valid = np.asarray(batch.valid)
+    assert valid.sum() >= 8, f"pivots: {np.asarray(batch.residual)}"
+    L = np.asarray(batch.scenario.node_x)[:, -1]
+    assert len(np.unique(np.round(L, 5))) == 12  # every sample distinct
+    assert (np.asarray(batch.result.I)[valid] >= 1e-8).all()
+
+
 def test_generate_batch_sharded_matches_unsharded():
     mesh = default_mesh(("data",))
     assert mesh.devices.size == 8
