@@ -63,11 +63,15 @@ def cpu_baseline_rate(diag, upper, f, iters=300):
 
 
 def device_rate(sc, I, batch=8192, reps=10, refine=1):
-    """Full batched solve (assembly + Pallas block-Thomas + end forces)."""
+    """Full batched FEA (assembly + solve + force recovery).
+
+    On TPU this runs the fully-fused Pallas kernel; elsewhere the split
+    assembly + scan-solver path.
+    """
     import jax
     import jax.numpy as jnp
 
-    from openpystruct_tpu.fem.beam import solve_beam_batched
+    from openpystruct_tpu.fem.beam import constraint_mask, solve_beam_batched
 
     E, A = 200e9, 0.01
     sc32 = jax.tree.map(
@@ -83,12 +87,23 @@ def device_rate(sc, I, batch=8192, reps=10, refine=1):
         jnp.exp(jax.random.normal(key, (batch, len(I)), jnp.float32) * 0.3)
         * 0.5
     )
-    use_pallas = jax.default_backend() == "tpu"
-    fn = jax.jit(
-        lambda Ib: solve_beam_batched(
-            Ib, sc_b, E, A, refine=refine, use_pallas=use_pallas
-        ).deflections
-    )
+    if jax.default_backend() == "tpu":
+        from openpystruct_tpu.ops.beam_kernel import pallas_beam_analysis
+
+        Le = jnp.diff(sc_b.node_x, axis=-1)
+        free = (~jax.vmap(constraint_mask)(sc_b)).astype(jnp.float32)
+        fn = jax.jit(
+            lambda Ib: pallas_beam_analysis(
+                Ib, Le, free, sc_b.point_loads, sc_b.udl, E, A,
+                refine=refine,
+            )[0]
+        )
+    else:
+        fn = jax.jit(
+            lambda Ib: solve_beam_batched(
+                Ib, sc_b, E, A, refine=refine, use_pallas=False
+            ).deflections
+        )
     out = fn(Ib)
     out.block_until_ready()
     t0 = time.perf_counter()

@@ -240,17 +240,122 @@ def cmd_train(args):
           f"({ep * len(ds.X_train) / dt:.0f} samples/sec)")
     print(f"R² on Validation: {r2:.4f}")
     if args.checkpoint:
+        from openpystruct_tpu.data import save_preprocessing
+
         tree = {"params": res.params}
         if res.batch_stats is not None:
             tree["batch_stats"] = res.batch_stats
         save_checkpoint(args.checkpoint, tree)
-        print(f"best checkpoint saved to {args.checkpoint}")
+        save_preprocessing(ds, args.checkpoint + "_preproc.npz")
+        print(f"best checkpoint saved to {args.checkpoint} "
+              f"(+ {args.checkpoint}_preproc.npz)")
     if args.plot:
         from openpystruct_tpu.viz import plot_train_val_losses
 
         plot_train_val_losses(res.train_losses, res.val_losses).savefig(
             args.plot
         )
+
+
+def _add_predict(sub):
+    p = sub.add_parser(
+        "predict",
+        help="user inference: predict I(x) for a multi-case load scenario",
+    )
+    p.add_argument("--model", required=True,
+                   choices=["fnn", "pinn", "fno", "gnn", "tfd", "bnn",
+                            "bnn-meta"])
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--preproc", required=True,
+                   help="preprocessing .npz saved by `train`")
+    p.add_argument("--length", type=float, default=200.0)
+    p.add_argument("--rollers-x", type=str, default="18,58,138,170,200",
+                   help="comma-separated roller positions (m); the "
+                        "reference example (FNN_MultiCase.py:645)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mc-samples", type=int, default=0,
+                   help="Monte-Carlo forward passes for Bayesian "
+                        "uncertainty (the Meta script uses 50)")
+    p.add_argument("--plot", type=str, default=None)
+
+
+def cmd_predict(args):
+    import jax
+    import numpy as np
+
+    from openpystruct_tpu.data import build_user_input, load_preprocessing
+    from openpystruct_tpu.families import build_family
+    from openpystruct_tpu.train import load_checkpoint, predict
+
+    pre = load_preprocessing(args.preproc)
+    n_cases = pre["n_cases"]
+    nelem = 100
+    model, spec, _ = build_family(
+        args.model, pre["feat_dim"], nelem=nelem,
+        label_dim=pre["label_dim"],
+    )
+    ckpt = load_checkpoint(args.checkpoint)
+    params = ckpt["params"]
+    batch_stats = ckpt.get("batch_stats")
+
+    # the reference's example inference: fixed rollers per case, 1-3 random
+    # point forces per case in [Fmax, Fmax/10]
+    # (OpenPyStruct_FNN_MultiCase.py:641-681)
+    rng = np.random.default_rng(args.seed)
+    L = args.length
+    rollers = [float(x) for x in args.rollers_x.split(",")]
+    user_roller = [rollers[:] for _ in range(n_cases)]
+    user_fx, user_fv = [], []
+    for _ in range(n_cases):
+        k = int(rng.integers(1, 4))
+        user_fx.append(sorted(rng.uniform(0, L, k).tolist()))
+        user_fv.append(rng.uniform(-355857.0, -35585.7, k).tolist())
+    user_nodes = [np.linspace(0, L, nelem + 1).tolist()] * n_cases
+
+    X = build_user_input(
+        user_roller, user_fx, user_fv, user_nodes, pre["scalers"],
+        n_cases, pre["max_lengths"],
+    )
+    # zero-pad to the nheads-padded training feature width, like the
+    # pipeline does for the transformer families
+    if X.shape[-1] < pre["feat_dim"]:
+        X = np.pad(
+            X, ((0, 0), (0, 0), (0, pre["feat_dim"] - X.shape[-1]))
+        )
+    if args.mc_samples and args.model in ("bnn", "bnn-meta"):
+        import jax.numpy as jnp
+
+        from openpystruct_tpu.models import mc_output_stats
+
+        variables = {"params": params["model"]}
+        mean, std = mc_output_stats(
+            model, variables, jnp.asarray(X, jnp.float32),
+            n_samples=args.mc_samples, rng=jax.random.PRNGKey(args.seed),
+            scaler_Y=pre["scaler_Y"],
+        )
+        mean_I, std_I = mean[0][:nelem], std[0][:nelem]
+        print("elem :  mean I (m^4)  : std I (m^4)")
+        for i, (m, s) in enumerate(zip(mean_I, std_I)):
+            print(f"{i + 1:4d} : {m: .6e} : {s:.3e}")
+        pred = mean_I
+    else:
+        out = predict(
+            model, params, X, pre["scaler_Y"],
+            rng=jax.random.PRNGKey(args.seed),
+            model_rng_keys=spec.model_rng_keys, batch_stats=batch_stats,
+        )
+        pred = out[0][:nelem]
+        print("predicted I (m^4):")
+        print(np.array2string(pred, precision=5, max_line_width=100))
+    if args.plot:
+        from openpystruct_tpu.viz import plot_beam_prediction
+
+        fig = plot_beam_prediction(
+            L, pred, rollers_x=rollers, force_cases_x=user_fx,
+            force_cases_vals=user_fv,
+        )
+        fig.savefig(args.plot)
+        print(f"plot saved to {args.plot}")
 
 
 def cmd_bench(args):
@@ -274,6 +379,7 @@ def main(argv=None):
     _add_frame_opt(sub)
     _add_datagen(sub)
     _add_train(sub)
+    _add_predict(sub)
     sub.add_parser("bench", help="run the headline benchmark")
     args = ap.parse_args(argv)
     {
@@ -281,6 +387,7 @@ def main(argv=None):
         "frame-opt": cmd_frame_opt,
         "datagen": cmd_datagen,
         "train": cmd_train,
+        "predict": cmd_predict,
         "bench": cmd_bench,
     }[args.cmd](args)
 

@@ -1,5 +1,9 @@
 """Shared preprocessing pipeline (the reference's L3 layer, deduplicated)."""
 
+from openpystruct_tpu.data.persist import (
+    load_preprocessing,
+    save_preprocessing,
+)
 from openpystruct_tpu.data.pipeline import (
     Scaler,
     pad_sequences,
@@ -14,6 +18,8 @@ from openpystruct_tpu.data.pipeline import (
 )
 
 __all__ = [
+    "load_preprocessing",
+    "save_preprocessing",
     "Scaler",
     "pad_sequences",
     "unify_label",

@@ -64,7 +64,9 @@ class BeamSolution:
     rotations: jax.Array      # (n,)  == nodeDisp(node, 3)
     shear_forces: jax.Array   # (nelem,) == eleResponse(e,'forces')[1]
     bending_moments: jax.Array  # (nelem,) == eleResponse(e,'forces')[2]
-    end_forces: jax.Array     # (nelem, 6) full element end forces
+    # full (nelem, 6) element end forces; None on the fused-kernel path,
+    # which recovers only the V/M components the losses and datasets use
+    end_forces: Optional[jax.Array] = None
 
 
 def constraint_mask(scenario: BeamScenario) -> jax.Array:

@@ -180,6 +180,7 @@ def optimize_beam_batched(
     refine: int = 0,
     use_pallas: bool = True,
     interpret: bool = False,
+    fused: Optional[bool] = None,
 ) -> BeamOptResult:
     """Explicitly-batched optimizer: every leaf of ``scenario`` has a
     leading batch dim, the FE solves run the Pallas kernel on the whole
@@ -190,17 +191,33 @@ def optimize_beam_batched(
     math (bias-corrected moments, lr_t = lr * gamma^t, post-step clamp);
     the trajectory therefore matches ``optimize_beam`` whose own parity with
     the reference's torch loop is tested step-for-step.
+
+    ``fused`` selects the fully-fused Pallas kernel (assembly + solve +
+    force recovery in VMEM; ops/beam_kernel.py).  Default: on whenever the
+    Pallas path is on and the gradient mode is the reference's semi-gradient
+    (the fused kernel is primal-only; adjoint mode uses the split path).
     """
-    from openpystruct_tpu.fem.beam import solve_beam_batched
+    from openpystruct_tpu.fem.beam import (
+        constraint_mask,
+        solve_beam_batched,
+    )
+    from openpystruct_tpu.fem.beam import BeamSolution
+    from openpystruct_tpu.ops.beam_kernel import pallas_beam_analysis
 
     B = scenario.node_x.shape[0]
     nelem = scenario.node_x.shape[-1] - 1
     if I0 is None:
         I0 = jnp.full((B, nelem), beam.I0, dtype=jnp.float32)
     dtype = I0.dtype
+    if fused is None:
+        fused = use_pallas and opt.grad_mode == "semi"
 
     E, G, A = beam.E, beam.G, beam.A
     b1, b2, eps = 0.9, 0.999, 1e-8
+
+    if fused:
+        Le = jnp.diff(scenario.node_x, axis=-1).astype(dtype)
+        free = (~jax.vmap(constraint_mask)(scenario)).astype(dtype)
 
     def eval_loss(I):
         # Semi-gradient mode treats the whole FE solve as a constant per
@@ -208,10 +225,20 @@ def optimize_beam_batched(
         # OpenPyStruct_BeamOpt.py:150-151) — stopping I at the solve input
         # lets XLA skip the entire assembly/solve backward pass.
         I_solve = jax.lax.stop_gradient(I) if opt.grad_mode == "semi" else I
-        sol = solve_beam_batched(
-            I_solve, scenario, E, A, refine=refine, use_pallas=use_pallas,
-            interpret=interpret,
-        )
+        if fused:
+            u, V, M = pallas_beam_analysis(
+                I_solve, Le, free, scenario.point_loads, scenario.udl,
+                float(E), float(A), refine=refine, interpret=interpret,
+            )
+            sol = BeamSolution(
+                displacements=u, deflections=u[..., 1],
+                rotations=u[..., 2], shear_forces=V, bending_moments=M,
+            )
+        else:
+            sol = solve_beam_batched(
+                I_solve, scenario, E, A, refine=refine,
+                use_pallas=use_pallas, interpret=interpret,
+            )
         comps = jax.vmap(
             lambda I, M, V: structural_loss(
                 I, M, V, E, G, opt.alpha_moment, opt.alpha_shear,
