@@ -97,7 +97,7 @@ def device_rate(sc, I, batch=8192, reps=10, refine=1):
                 Ib, Le, free, sc_b.point_loads, sc_b.udl, E, A,
                 refine=refine,
             )[0]
-        )
+        )  # [0] = displacements; outputs also include V, M, pivot
     else:
         fn = jax.jit(
             lambda Ib: solve_beam_batched(

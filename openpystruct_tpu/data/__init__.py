@@ -4,6 +4,7 @@ from openpystruct_tpu.data.persist import (
     load_preprocessing,
     save_preprocessing,
 )
+from openpystruct_tpu.data.device_pipeline import prepare_dataset_device
 from openpystruct_tpu.data.pipeline import (
     Scaler,
     pad_sequences,
@@ -20,6 +21,7 @@ from openpystruct_tpu.data.pipeline import (
 __all__ = [
     "load_preprocessing",
     "save_preprocessing",
+    "prepare_dataset_device",
     "Scaler",
     "pad_sequences",
     "unify_label",

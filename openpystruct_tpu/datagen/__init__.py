@@ -9,6 +9,7 @@ chips (ICI collectives instead of process pools).
 """
 
 from openpystruct_tpu.datagen.sampler import sample_scenario
+from openpystruct_tpu.datagen.features import batch_feature_arrays
 from openpystruct_tpu.datagen.generate import (
     DatagenBatch,
     generate_batch,
@@ -26,6 +27,7 @@ from openpystruct_tpu.datagen.io import (
 
 __all__ = [
     "sample_scenario",
+    "batch_feature_arrays",
     "DatagenBatch",
     "generate_batch",
     "generate_dataset",

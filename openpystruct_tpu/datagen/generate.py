@@ -82,9 +82,13 @@ def _make_batch_fn(
             scenario, beam_cfg, opt_cfg, refine=refine,
             use_pallas=use_pallas,
         )
-        pivot = jax.vmap(
-            lambda I, sc: beam_min_pivot(I, sc, beam_cfg.E, beam_cfg.A)
-        )(res.I_solved, scenario)
+        if res.pivot is not None:
+            # fused kernel already measured the pivot of the last solve
+            pivot = res.pivot
+        else:
+            pivot = jax.vmap(
+                lambda I, sc: beam_min_pivot(I, sc, beam_cfg.E, beam_cfg.A)
+            )(res.I_solved, scenario)
         finite = jnp.all(jnp.isfinite(res.I), axis=-1) & jnp.all(
             jnp.isfinite(res.solution.displacements), axis=(-2, -1)
         )

@@ -209,9 +209,38 @@ def block_tridiag_min_pivot(diag, upper, lower=None):
         lower_s = jnp.swapaxes(upper_s, -1, -2)
     else:
         lower_s = lower * s[..., 1:, :, None] * s[..., :-1, None, :]
-    sinv, _ = _factor(diag_s, upper_s, lower_s)
-    # S_i = inv(Sinv_i) => |det S_i| = 1 / |det Sinv_i|
-    return jnp.min(1.0 / jnp.abs(_det_small(sinv)), axis=-1)
+
+    # Constant-memory recurrence: carry only (C, running min |det S|) —
+    # stacking the factors (as _factor does) costs O(n * B * 9) HBM, which
+    # OOMs large datagen batches.
+    k = diag_s.shape[-1]
+    n = diag_s.shape[-3]
+    upper_p = jnp.concatenate(
+        [upper_s, jnp.zeros(upper_s.shape[:-3] + (1, k, k), upper_s.dtype)],
+        axis=-3,
+    )
+
+    def step(carry, inp):
+        c_prev, min_det = carry
+        d_i, u_i, l_im1 = inp
+        sblk = d_i - _mm(l_im1, c_prev)
+        det = jnp.abs(_det_small(sblk))
+        c = _mm(_inv_small(sblk), u_i)
+        return (c, jnp.minimum(min_det, det)), None
+
+    d0 = jnp.moveaxis(diag_s, -3, 0)[0]
+    det0 = jnp.abs(_det_small(d0))
+    c0 = _mm(_inv_small(d0), jnp.moveaxis(upper_p, -3, 0)[0])
+    (_, min_det), _ = jax.lax.scan(
+        step,
+        (c0, det0),
+        (
+            jnp.moveaxis(diag_s, -3, 0)[1:],
+            jnp.moveaxis(upper_p, -3, 0)[1:],
+            jnp.moveaxis(lower_s, -3, 0),
+        ),
+    )
+    return min_det
 
 
 # ---------------------------------------------------------------------------

@@ -72,6 +72,7 @@ def _beam_kernel(
     u_out,     # (1, n, 3, S, L)
     V_out,     # (1, nelem, S, L)
     M_out,     # (1, nelem, S, L)
+    piv_out,   # (1, 1, S, L) min |det S| over the factorization sweep
     ks_scr,    # (nelem, 5, S, L): ea/Le, 12EI/Le^3, 6EI/Le^2, 4EI/Le, 2EI/Le
     diag_scr,  # (n, 3, 3, S, L)
     upper_scr,  # (n, 3, 3, S, L) (last block zero)
@@ -205,7 +206,15 @@ def _beam_kernel(
     def read_vec(ref, i):
         return [ref[i, a] for a in range(3)]
 
-    sinv0 = _inv3_slabs(read_mat(diag_scr, 0))
+    def _det3(m):
+        a, b, c = m[0]
+        d, e, f = m[1]
+        g, h, i_ = m[2]
+        return (a * (e * i_ - f * h) - b * (d * i_ - f * g)
+                + c * (d * h - e * g))
+
+    d0 = read_mat(diag_scr, 0)
+    sinv0 = _inv3_slabs(d0)
     c0 = _mm(sinv0, read_mat(upper_scr, 0))
     y0 = _mv(sinv0, read_vec(f_scr, 0))
     for a in range(3):
@@ -213,7 +222,7 @@ def _beam_kernel(
             c_scr[0, a, b] = c0[a][b]
         y_scr[0, a] = y0[a]
 
-    def fwd(i, _):
+    def fwd(min_det, i):
         lm = _t(read_mat(upper_scr, i - 1))
         c_prev = read_mat(c_scr, i - 1)
         s = _sub_m(read_mat(diag_scr, i), _mm(lm, c_prev))
@@ -225,9 +234,12 @@ def _beam_kernel(
             for b in range(3):
                 c_scr[i, a, b] = cc[a][b]
             y_scr[i, a] = y[a]
-        return 0
+        return jnp.minimum(min_det, jnp.abs(_det3(s)))
 
-    jax.lax.fori_loop(1, n, fwd, 0)
+    min_det = jax.lax.fori_loop(
+        1, n, lambda i, md: fwd(md, i), jnp.abs(_det3(d0))
+    )
+    piv_out[0, 0] = min_det
 
     # back substitution: x overwrites y_scr
     def bwd(k, _):
@@ -391,7 +403,11 @@ def pallas_beam_analysis(I, Le, free_mask, point_loads, udl,
       E, A: material constants (static).
       refine: compensated-refinement sweeps (static unroll).
 
-    Returns (u (B, n, 3), V (B, nelem), M (B, nelem)).
+    Returns (u (B, n, 3), V (B, nelem), M (B, nelem), pivot (B,)) where
+    ``pivot`` is the minimum Schur-pivot determinant of the Jacobi-scaled
+    factorization — the singularity diagnostic of
+    ``fem.solve.block_tridiag_min_pivot``, captured for free during the
+    forward sweep (so datagen needs no separate factorization pass).
     """
     B, nelem = I.shape
     n = nelem + 1
@@ -436,6 +452,7 @@ def pallas_beam_analysis(I, Le, free_mask, point_loads, udl,
             spec(n, 3, SUB, LANES),       # u
             spec(nelem, SUB, LANES),      # V
             spec(nelem, SUB, LANES),      # M
+            spec(1, SUB, LANES),          # pivot
         ],
         scratch_shapes=[
             pltpu.VMEM((nelem, 5, SUB, LANES), dtype),   # ks
@@ -448,14 +465,20 @@ def pallas_beam_analysis(I, Le, free_mask, point_loads, udl,
             pltpu.VMEM((n, 3, SUB, LANES), dtype),       # r
         ],
     )
-    u_s, V_s, M_s = pl.pallas_call(
+    u_s, V_s, M_s, piv_s = pl.pallas_call(
         functools.partial(_beam_kernel, refine),
         out_shape=[
             jax.ShapeDtypeStruct((T, n, 3, SUB, LANES), dtype),
             jax.ShapeDtypeStruct((T, nelem, SUB, LANES), dtype),
             jax.ShapeDtypeStruct((T, nelem, SUB, LANES), dtype),
+            jax.ShapeDtypeStruct((T, 1, SUB, LANES), dtype),
         ],
         grid_spec=grid_spec,
         interpret=interpret,
     )(I_s, Le_s, free_s, load_s, udl_s, ea, ee)
-    return _from_slab(u_s, B0), _from_slab(V_s, B0), _from_slab(M_s, B0)
+    return (
+        _from_slab(u_s, B0),
+        _from_slab(V_s, B0),
+        _from_slab(M_s, B0),
+        _from_slab(piv_s, B0)[:, 0],
+    )

@@ -48,6 +48,9 @@ class BeamOptResult:
     n_epochs: jax.Array          # epochs actually run
     converged: jax.Array         # True if early-stopped before max_epochs
     loss_history: Optional[jax.Array] = None  # (max_epochs, 4) or None
+    # min Schur pivot of the last solved system (fused-kernel path only) —
+    # the singularity diagnostic, captured for free during factorization
+    pivot: Optional[jax.Array] = None
 
 
 def _adam(lr: float, gamma: float) -> optax.GradientTransformation:
@@ -226,7 +229,7 @@ def optimize_beam_batched(
         # lets XLA skip the entire assembly/solve backward pass.
         I_solve = jax.lax.stop_gradient(I) if opt.grad_mode == "semi" else I
         if fused:
-            u, V, M = pallas_beam_analysis(
+            u, V, M, piv = pallas_beam_analysis(
                 I_solve, Le, free, scenario.point_loads, scenario.udl,
                 float(E), float(A), refine=refine, interpret=interpret,
             )
@@ -234,6 +237,13 @@ def optimize_beam_batched(
                 displacements=u, deflections=u[..., 1],
                 rotations=u[..., 2], shear_forces=V, bending_moments=M,
             )
+            comps = jax.vmap(
+                lambda I, M, V: structural_loss(
+                    I, M, V, E, G, opt.alpha_moment, opt.alpha_shear,
+                    grad_mode=opt.grad_mode,
+                )
+            )(I, sol.bending_moments, sol.shear_forces)
+            return jnp.sum(comps.total), (sol, comps, piv)
         else:
             sol = solve_beam_batched(
                 I_solve, scenario, E, A, refine=refine,
@@ -246,10 +256,10 @@ def optimize_beam_batched(
             )
         )(I, sol.bending_moments, sol.shear_forces)
         # independent samples: summing gives each lane its own gradient
-        return jnp.sum(comps.total), (sol, comps)
+        return jnp.sum(comps.total), (sol, comps, None)
 
     grad_fn = jax.value_and_grad(eval_loss, has_aux=True)
-    sol0, comps0 = eval_loss(I0)[1]
+    sol0, comps0, piv0 = eval_loss(I0)[1]
     loss_dtype = comps0.total.dtype
 
     carry0 = dict(
@@ -264,13 +274,14 @@ def optimize_beam_batched(
         done=jnp.zeros((B,), bool),
         sol=sol0,
         comps=comps0,
+        pivot=piv0,
     )
 
     def cond(c):
         return jnp.any(~c["done"]) & (c["epoch"] < opt.max_epochs)
 
     def body(c):
-        (_, (sol, comps)), g = grad_fn(c["I"])
+        (_, (sol, comps, piv)), g = grad_fn(c["I"])
         active = ~c["done"]
         am = active[:, None]
 
@@ -308,6 +319,8 @@ def optimize_beam_batched(
             done=done,
             sol=jax.tree.map(freeze, sol, c["sol"]),
             comps=jax.tree.map(freeze, comps, c["comps"]),
+            pivot=(jnp.where(active, piv, c["pivot"])
+                   if piv is not None else None),
         )
 
     c = jax.lax.while_loop(cond, body, carry0)
@@ -319,4 +332,5 @@ def optimize_beam_batched(
         n_epochs=c["n_epochs"],
         converged=c["done"],
         loss_history=None,
+        pivot=c["pivot"],
     )

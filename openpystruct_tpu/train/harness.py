@@ -227,7 +227,7 @@ def fit(
         (state, _), losses = jax.lax.scan(step_fn, (state, rng), (Xe, Ye))
         return state, jnp.mean(losses)
 
-    def val_loss_fn(state, rng):
+    def val_loss_fn(state, rng, Xv, Yv):
         def one(carry, xs):
             rng = carry
             Xb, Yb = xs
@@ -241,11 +241,14 @@ def fit(
         _, losses = jax.lax.scan(one, rng, (Xv, Yv))
         return jnp.mean(losses)
 
-    def run_epochs(state, best, rng, epoch0, n_epochs):
+    def run_epochs(state, best, rng, epoch0, n_epochs, X_tr, Y_tr, Xv, Yv):
         """Run ``n_epochs`` epochs entirely on-device (one jitted scan):
         shuffle, noisy train steps, per-epoch val loss, and best-checkpoint
         selection all stay on the device — the host only syncs once per
-        chunk.  ``best`` is (best_val, best_params, best_stats)."""
+        chunk.  ``best`` is (best_val, best_params, best_stats).  The data
+        arrays are explicit jit arguments (NOT closure captures: captured
+        constants get serialized into the compile payload, which breaks
+        remote-compile setups for large datasets)."""
 
         def epoch_body(carry, e_idx):
             st, best, rng = carry
@@ -255,13 +258,13 @@ def fit(
                 epoch.astype(jnp.float32),
             )
             rng, ks, ke, kv = jax.random.split(rng, 4)
-            perm = jax.random.permutation(ks, X_train.shape[0])[
+            perm = jax.random.permutation(ks, X_tr.shape[0])[
                 : steps * batch
             ]
-            Xe = X_train[perm].reshape(steps, batch, *X_train.shape[1:])
-            Ye = Y_train[perm].reshape(steps, batch, *Y_train.shape[1:])
+            Xe = X_tr[perm].reshape(steps, batch, *X_tr.shape[1:])
+            Ye = Y_tr[perm].reshape(steps, batch, *Y_tr.shape[1:])
             st, tr_loss = train_epoch(st, Xe, Ye, ke, noise)
-            va_loss = val_loss_fn(st, kv)
+            va_loss = val_loss_fn(st, kv, Xv, Yv)
 
             best_val, best_params, best_stats = best
             improved = va_loss < best_val
@@ -312,7 +315,9 @@ def fit(
     while epoch0 < cfg.num_epochs and not stopped:
         chunk = min(epochs_per_sync, cfg.num_epochs - epoch0)
         rng, sub = jax.random.split(rng)
-        state, best, tr, va = run_epochs_j(state, best, sub, epoch0, chunk)
+        state, best, tr, va = run_epochs_j(
+            state, best, sub, epoch0, chunk, X_train, Y_train, Xv, Yv
+        )
         tr = np.asarray(tr)
         va = np.asarray(va)
         for i in range(chunk):

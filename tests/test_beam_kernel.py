@@ -33,7 +33,7 @@ def test_fused_kernel_matches_split_f64():
     """float64 interpret mode: both paths agree to roundoff."""
     scs, I, Le, free = setup(dtype=jnp.float64)
     ref = solve_beam_batched(I, scs, E, A, use_pallas=False)
-    u, V, M = pallas_beam_analysis(
+    u, V, M, piv = pallas_beam_analysis(
         I, Le, free, scs.point_loads, scs.udl, E, A, refine=0,
         interpret=True,
     )
@@ -45,6 +45,13 @@ def test_fused_kernel_matches_split_f64():
     )
     np.testing.assert_allclose(
         np.asarray(M), np.asarray(ref.bending_moments), rtol=1e-8, atol=1e-6
+    )
+    # the emitted pivot matches the standalone diagnostic
+    from openpystruct_tpu.fem import beam_min_pivot
+
+    piv_ref = jax.vmap(lambda I, sc: beam_min_pivot(I, sc, E, A))(I, scs)
+    np.testing.assert_allclose(
+        np.asarray(piv), np.asarray(piv_ref), rtol=1e-6
     )
 
 
@@ -62,7 +69,7 @@ def test_fused_kernel_refine_f32_matches_split():
     )
     scale = float(jnp.max(jnp.abs(truth.displacements)))
     for refine in (1, 2):
-        u, V, M = pallas_beam_analysis(
+        u, V, M, _ = pallas_beam_analysis(
             I, Le, free, scs.point_loads, scs.udl, E, A, refine=refine,
             interpret=True,
         )
@@ -80,11 +87,12 @@ def test_fused_kernel_refine_f32_matches_split():
 
 def test_fused_kernel_batch_padding():
     scs, I, Le, free = setup(B=3, seed=2, dtype=jnp.float64)
-    u, V, M = pallas_beam_analysis(
+    u, V, M, piv = pallas_beam_analysis(
         I, Le, free, scs.point_loads, scs.udl, E, A, refine=0,
         interpret=True,
     )
     assert u.shape == (3, 101, 3) and V.shape == (3, 100)
+    assert piv.shape == (3,)
     ref = solve_beam_batched(I, scs, E, A, use_pallas=False)
     np.testing.assert_allclose(
         np.asarray(u), np.asarray(ref.displacements), rtol=1e-9, atol=1e-18
