@@ -52,6 +52,9 @@ def _add_datagen(sub):
     p.add_argument("--mesh", action="store_true",
                    help="shard over all local devices")
     p.add_argument("--refine", type=int, default=1)
+    p.add_argument("--max-epochs", type=int, default=None,
+                   help="override the per-sample optimization budget "
+                        "(reference: 600)")
 
 
 def _add_train(sub):
@@ -172,12 +175,17 @@ def cmd_frame_opt(args):
 
 
 def cmd_datagen(args):
+    import dataclasses
+
     import jax
 
     from openpystruct_tpu.config import DATAGEN_OPT, ScenarioConfig
     from openpystruct_tpu.datagen import generate_dataset_json
 
     scen = ScenarioConfig(random_bridge=args.random_bridge)
+    opt_cfg = DATAGEN_OPT
+    if args.max_epochs:
+        opt_cfg = dataclasses.replace(opt_cfg, max_epochs=args.max_epochs)
     mesh = None
     if args.mesh:
         from openpystruct_tpu.parallel import default_mesh
@@ -186,7 +194,7 @@ def cmd_datagen(args):
     t0 = time.time()
     n = generate_dataset_json(
         jax.random.PRNGKey(args.seed), args.num_samples, args.output,
-        batch_size=args.batch_size, scen_cfg=scen, opt_cfg=DATAGEN_OPT,
+        batch_size=args.batch_size, scen_cfg=scen, opt_cfg=opt_cfg,
         refine=args.refine, mesh=mesh, progress=True,
     )
     dt = time.time() - t0

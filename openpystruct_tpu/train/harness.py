@@ -105,6 +105,7 @@ def fit(
     data_axis: str = "data",
     epochs_per_sync: int = 1,
     verbose: bool = False,
+    metrics=None,
 ) -> FitResult:
     """Train ``model`` with the shared reference recipe.
 
@@ -120,6 +121,9 @@ def fit(
     per-epoch early-stop check exactly; larger values amortize host/link
     latency and may run up to ``epochs_per_sync - 1`` epochs past the stop
     point (the returned best checkpoint can then only be equal or better).
+
+    ``metrics``: an optional ``utils.MetricsLogger`` receiving one entry per
+    epoch (train_loss, val_loss).
     """
     if rng is None:
         rng = jax.random.PRNGKey(cfg.seed)
@@ -324,6 +328,9 @@ def fit(
             epoch = epoch0 + 1 + i
             train_hist.append(float(tr[i]))
             val_hist.append(float(va[i]))
+            if metrics is not None:
+                metrics.log(step=epoch, train_loss=float(tr[i]),
+                            val_loss=float(va[i]))
             if va[i] < best_val:
                 best_val = float(va[i])
                 best_epoch = epoch

@@ -1,0 +1,52 @@
+"""CLI smoke tests (subprocess, CPU): the user-facing script surface."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+ENV = {
+    **os.environ,
+    "JAX_PLATFORMS": "cpu",
+    "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+}
+
+
+def run_cli(*args, timeout=420):
+    return subprocess.run(
+        [sys.executable, "-m", "openpystruct_tpu", *args],
+        capture_output=True, text=True, timeout=timeout, env=ENV,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+
+
+@pytest.mark.slow
+def test_cli_beam_opt_runs():
+    r = run_cli("beam-opt", "--epochs", "8", "--refine", "0")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Total Loss:" in r.stdout
+    assert "Primary Loss:" in r.stdout
+
+
+@pytest.mark.slow
+def test_cli_datagen_train_predict_roundtrip(tmp_path):
+    ds = str(tmp_path / "ds.json")
+    r = run_cli("datagen", "--num-samples", "48", "--batch-size", "48",
+                "--max-epochs", "15", "--refine", "0", "--output", ds)
+    assert r.returncode == 0, r.stderr[-2000:]
+    data = json.load(open(ds))
+    assert len(data["I_values"]) > 0
+
+    ck = str(tmp_path / "ckpt")
+    r = run_cli("train", "--model", "fnn", "--data", ds, "--epochs", "3",
+                "--epochs-per-sync", "3", "--checkpoint", ck)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "R² on Validation:" in r.stdout
+    assert os.path.exists(ck + "_preproc.npz")
+
+    r = run_cli("predict", "--model", "fnn", "--checkpoint", ck,
+                "--preproc", ck + "_preproc.npz")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "predicted I" in r.stdout

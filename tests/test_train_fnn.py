@@ -78,6 +78,21 @@ def test_fnn_data_parallel_matches_single(tmp_path):
     )
 
 
+def test_fit_metrics_logger(tmp_path):
+    from openpystruct_tpu.utils import MetricsLogger
+
+    data = small_dataset()
+    ds = prepare_dataset(data, n_cases=6, train_split=0.75, seed=0)
+    cfg = TrainConfig(num_epochs=3, batch_size=4, patience=50, sigma_0=0.0)
+    model = FNNWithResidual(hidden_dim=16, num_blocks=1,
+                            output_dim=ds.label_dim, dropout_rate=0.0,
+                            dtype=jnp.float32)
+    m = MetricsLogger(jsonl=str(tmp_path / "m.jsonl"))
+    fit(model, ds.X_train, ds.Y_train, ds.X_val, ds.Y_val, cfg, metrics=m)
+    assert len(m.column("train_loss")) == 3
+    assert all(isinstance(v, float) for v in m.column("val_loss"))
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from openpystruct_tpu.train import load_checkpoint, save_checkpoint
 
