@@ -59,7 +59,7 @@ def optimize_frame(
     structure: FrameStructure,
     cfg: FrameConfig = FrameConfig(),
     I0: Optional[jax.Array] = None,
-    lr: float = 0.005,
+    lr: Optional[float] = None,
     alpha_moment: float = 1e-2,
     alpha_shear: float = 1e-2,
     grad_mode: str = "semi",
@@ -69,12 +69,18 @@ def optimize_frame(
     """Vmappable over I0 (and over batches of load variations via closure)."""
     if I0 is None:
         I0 = jnp.full((structure.num_elems,), cfg.I0, dtype)
+    if lr is None:
+        lr = cfg.lr
 
     tx = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
     opt_state0 = tx.init(I0)
 
     def eval_loss(I):
-        sol = solve_frame(I, structure, cfg, dtype)
+        # Semi-gradient: the force fields are per-iteration constants, so
+        # stop the gradient at the solve INPUT — otherwise XLA compiles the
+        # (dead) dense-LU backward of every while_loop iteration.
+        I_solve = jax.lax.stop_gradient(I) if grad_mode == "semi" else I
+        sol = solve_frame(I_solve, structure, cfg, dtype)
         comps = frame_loss(I, sol, cfg, alpha_moment, alpha_shear, grad_mode)
         return comps.total, (sol, comps)
 
@@ -117,7 +123,13 @@ def optimize_frame(
         )
 
     c = jax.lax.while_loop(cond, body, carry0)
+    # Re-run the analysis at the converged I before reporting, as the
+    # reference does (FrameOpt_Discrete_Beta.py:217-219) — the in-loop
+    # solution trails the final clamp/step by one iteration.
+    sol_f = solve_frame(jax.lax.stop_gradient(c["I"]), structure, cfg, dtype)
+    comps_f = frame_loss(c["I"], sol_f, cfg, alpha_moment, alpha_shear,
+                         grad_mode)
     return FrameOptResult(
-        I=c["I"], solution=c["sol"], loss=c["comps"],
+        I=c["I"], solution=sol_f, loss=comps_f,
         n_epochs=c["epoch"], converged=c["done"], loss_history=c["hist"],
     )
