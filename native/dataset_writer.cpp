@@ -118,6 +118,57 @@ const char* kKeys[13] = {
     "shear_forces", "bending_moments", "node_positions", "roller_nodes",
     "force_nodes", "num_nodes", "L", "rotations", "deflections"};
 
+// Render every column of the kept samples into per-shard strings:
+// parts[key][shard].  Shared by the one-shot writer and the chunked
+// (streaming) appender.
+void render_columns(const Batch& b, const std::vector<int>& keep,
+                    int num_threads,
+                    std::vector<std::vector<std::string>>& parts) {
+  if (num_threads <= 0) {
+    num_threads = (int)std::thread::hardware_concurrency();
+    if (num_threads <= 0) num_threads = 1;
+  }
+  const int kept = (int)keep.size();
+  const int shards = std::min(num_threads, std::max(kept, 1));
+  parts.assign(13, std::vector<std::string>(shards));
+
+  auto work = [&](int shard) {
+    int lo = (int)((long)kept * shard / shards);
+    int hi = (int)((long)kept * (shard + 1) / shards);
+    for (int key = 0; key < 13; ++key) {
+      if (key == 9 || key == 10) continue;  // scalars handled below
+      std::string& out = parts[key][shard];
+      out.reserve((size_t)(hi - lo) * 12 * b.n);
+      for (int idx = lo; idx < hi; ++idx) {
+        if (idx > lo) out.push_back(',');
+        sample_entry(b, key, keep[idx], out);
+      }
+    }
+    // scalar columns: num_nodes and L
+    std::string& out = parts[9][shard];
+    for (int idx = lo; idx < hi; ++idx) {
+      if (idx > lo) out.push_back(',');
+      append_int(out, b.n);
+    }
+    std::string& outL = parts[10][shard];
+    for (int idx = lo; idx < hi; ++idx) {
+      if (idx > lo) outL.push_back(',');
+      append_double(outL, (double)b.node_x[(size_t)keep[idx] * b.n + b.n - 1]);
+    }
+  };
+
+  std::vector<std::thread> pool;
+  for (int t = 1; t < shards; ++t) pool.emplace_back(work, t);
+  work(0);
+  for (auto& th : pool) th.join();
+}
+
+std::string part_path(const char* dir, int key) {
+  char buf[32];
+  std::snprintf(buf, sizeof(buf), "/col_%02d.part", key);
+  return std::string(dir) + buf;
+}
+
 }  // namespace
 
 extern "C" {
@@ -142,44 +193,9 @@ int opsio_write_json_dataset(const char* path, int B, int n,
     if (num_threads <= 0) num_threads = 1;
   }
   const int kept = (int)keep.size();
-  const int shards = std::min(num_threads, std::max(kept, 1));
-
-  // Each shard renders its slice of every column; columns are then stitched
-  // in key order.  per-shard buffer: [key][shard] -> string
-  std::vector<std::vector<std::string>> parts(
-      13, std::vector<std::string>(shards));
-
-  auto work = [&](int shard) {
-    int lo = (int)((long)kept * shard / shards);
-    int hi = (int)((long)kept * (shard + 1) / shards);
-    for (int key = 0; key < 13; ++key) {
-      if (key == 9 || key == 10) continue;  // scalars handled below
-      std::string& out = parts[key][shard];
-      out.reserve((size_t)(hi - lo) * 12 * b.n);
-      for (int idx = lo; idx < hi; ++idx) {
-        if (idx > lo) out.push_back(',');
-        sample_entry(b, key, keep[idx], out);
-      }
-    }
-    // scalar columns: num_nodes and L
-    {
-      std::string& out = parts[9][shard];
-      for (int idx = lo; idx < hi; ++idx) {
-        if (idx > lo) out.push_back(',');
-        append_int(out, b.n);
-      }
-      std::string& outL = parts[10][shard];
-      for (int idx = lo; idx < hi; ++idx) {
-        if (idx > lo) outL.push_back(',');
-        append_double(outL, (double)b.node_x[(size_t)keep[idx] * b.n + b.n - 1]);
-      }
-    }
-  };
-
-  std::vector<std::thread> pool;
-  for (int t = 1; t < shards; ++t) pool.emplace_back(work, t);
-  work(0);
-  for (auto& th : pool) th.join();
+  std::vector<std::vector<std::string>> parts;
+  render_columns(b, keep, num_threads, parts);
+  const int shards = (int)parts[0].size();
 
   FILE* f = std::fopen(path, "wb");
   if (!f) return -1;
@@ -197,6 +213,70 @@ int opsio_write_json_dataset(const char* path, int B, int n,
   std::fputc('}', f);
   if (std::fclose(f) != 0) return -2;
   return kept;
+}
+
+// Streaming variant: append one batch's rendered columns to 13 per-key
+// fragment files under `dir` (created by the caller).  `need_comma` is
+// nonzero when samples were already appended (the caller tracks the running
+// total).  Peak memory is one batch, not the whole dataset.  Returns the
+// number of samples appended, or a negative code on failure.
+int opsio_append_json_chunk(const char* dir, int B, int n,
+                            const float* node_x, const uint8_t* roller,
+                            const float* loads, const float* I,
+                            const float* shear, const float* moment,
+                            const float* defl, const float* rot,
+                            const uint8_t* valid, int need_comma,
+                            int num_threads) {
+  Batch b{B, n, node_x, roller, loads, I, shear, moment, defl, rot, valid};
+  std::vector<int> keep;
+  keep.reserve(B);
+  for (int s = 0; s < B; ++s)
+    if (!valid || valid[s]) keep.push_back(s);
+  if (keep.empty()) return 0;
+
+  std::vector<std::vector<std::string>> parts;
+  render_columns(b, keep, num_threads, parts);
+
+  for (int key = 0; key < 13; ++key) {
+    FILE* f = std::fopen(part_path(dir, key).c_str(), "ab");
+    if (!f) return -1;
+    bool wrote_any = false;
+    for (auto& p : parts[key]) {
+      if (p.empty()) continue;
+      if (need_comma || wrote_any) std::fputc(',', f);
+      wrote_any = true;
+      std::fwrite(p.data(), 1, p.size(), f);
+    }
+    if (std::fclose(f) != 0) return -2;
+  }
+  return (int)keep.size();
+}
+
+// Stitch the 13 fragment files under `dir` into the final JSON document at
+// `path` and remove the fragments.  Missing fragments are treated as empty
+// columns (a zero-sample dataset).  Returns 0, or a negative code.
+int opsio_finalize_json(const char* dir, const char* path) {
+  FILE* out = std::fopen(path, "wb");
+  if (!out) return -1;
+  std::fputc('{', out);
+  std::vector<char> buf(1 << 20);
+  for (int key = 0; key < 13; ++key) {
+    if (key) std::fputc(',', out);
+    std::fprintf(out, "\"%s\":[", kKeys[key]);
+    std::string pp = part_path(dir, key);
+    FILE* in = std::fopen(pp.c_str(), "rb");
+    if (in) {
+      size_t got;
+      while ((got = std::fread(buf.data(), 1, buf.size(), in)) > 0)
+        std::fwrite(buf.data(), 1, got, out);
+      std::fclose(in);
+      std::remove(pp.c_str());
+    }
+    std::fputc(']', out);
+  }
+  std::fputc('}', out);
+  if (std::fclose(out) != 0) return -2;
+  return 0;
 }
 
 }  // extern "C"

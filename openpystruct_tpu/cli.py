@@ -55,6 +55,10 @@ def _add_datagen(sub):
     p.add_argument("--max-epochs", type=int, default=None,
                    help="override the per-sample optimization budget "
                         "(reference: 600)")
+    p.add_argument("--shard-dir", type=str, default=None,
+                   help="crash-safe mode: write per-batch .npz shards here "
+                        "(a killed run resumes at the first missing shard) "
+                        "and convert them to the JSON output at the end")
 
 
 def _add_train(sub):
@@ -180,7 +184,11 @@ def cmd_datagen(args):
     import jax
 
     from openpystruct_tpu.config import DATAGEN_OPT, ScenarioConfig
-    from openpystruct_tpu.datagen import generate_dataset_json
+    from openpystruct_tpu.datagen import (
+        generate_dataset_json,
+        generate_to_shards,
+        shards_to_json,
+    )
 
     scen = ScenarioConfig(random_bridge=args.random_bridge)
     opt_cfg = DATAGEN_OPT
@@ -192,11 +200,19 @@ def cmd_datagen(args):
 
         mesh = default_mesh()
     t0 = time.time()
-    n = generate_dataset_json(
-        jax.random.PRNGKey(args.seed), args.num_samples, args.output,
-        batch_size=args.batch_size, scen_cfg=scen, opt_cfg=opt_cfg,
-        refine=args.refine, mesh=mesh, progress=True,
-    )
+    if args.shard_dir:
+        paths = generate_to_shards(
+            jax.random.PRNGKey(args.seed), args.num_samples, args.shard_dir,
+            batch_size=args.batch_size, scen_cfg=scen, opt_cfg=opt_cfg,
+            refine=args.refine, mesh=mesh, progress=True,
+        )
+        n = shards_to_json(paths, args.output)
+    else:
+        n = generate_dataset_json(
+            jax.random.PRNGKey(args.seed), args.num_samples, args.output,
+            batch_size=args.batch_size, scen_cfg=scen, opt_cfg=opt_cfg,
+            refine=args.refine, mesh=mesh, progress=True,
+        )
     dt = time.time() - t0
     print("Data generation complete.")
     print(f"Total execution time: {dt:.2f} seconds "
@@ -239,14 +255,19 @@ def cmd_train(args):
         epochs_per_sync=args.epochs_per_sync, verbose=True, **fit_kwargs,
     )
     dt = time.time() - t0
+    # The PINN's headline metric is R^2 on the I slice only
+    # (OpenPyStruct_PINN_MultiCase.py:831-852).
+    label_slice = slice(0, nelem) if args.model == "pinn" else None
     r2 = evaluate_r2(
         model, res.params, ds.X_val, ds.Y_val, ds.scaler_Y,
         model_rng_keys=spec.model_rng_keys, batch_stats=res.batch_stats,
+        label_slice=label_slice, batch_size=4096,
     )
     ep = len(res.train_losses)
     print(f"{ep} epochs in {dt:.1f}s "
           f"({ep * len(ds.X_train) / dt:.0f} samples/sec)")
-    print(f"R² on Validation: {r2:.4f}")
+    suffix = " (I only)" if label_slice is not None else ""
+    print(f"R² on Validation{suffix}: {r2:.4f}")
     if args.checkpoint:
         from openpystruct_tpu.data import save_preprocessing
 

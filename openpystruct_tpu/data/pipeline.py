@@ -74,13 +74,19 @@ def transform_3d(arr_3d: np.ndarray, scaler: Scaler) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def pad_sequences(data_list, max_length: int, pad_val: float = 0.0):
-    """Pad ragged 1D lists to (num_samples, max_length)
-    (OpenPyStruct_FNN_MultiCase.py:61-71)."""
+    """Pad ragged 1D lists to (num_samples, max_length); rows longer than
+    ``max_length`` are truncated (same contract as the reference's helper,
+    OpenPyStruct_FNN_MultiCase.py:61-71).  Vectorized: one boolean-mask
+    scatter of the concatenated (truncated) rows instead of a per-row loop.
+    """
     out = np.full((len(data_list), max_length), pad_val, dtype=np.float32)
-    for i, arr in enumerate(data_list):
-        arr_np = np.asarray(arr, dtype=np.float32)
-        length = min(len(arr_np), max_length)
-        out[i, :length] = arr_np[:length]
+    if not len(data_list):
+        return out
+    rows = [np.asarray(r, dtype=np.float32).ravel()[:max_length]
+            for r in data_list]
+    lengths = np.array([r.size for r in rows])
+    valid = np.arange(max_length) < lengths[:, None]
+    out[valid] = np.concatenate(rows) if lengths.sum() else []
     return out
 
 
@@ -116,17 +122,14 @@ def merge_sub_features(*arrays):
 
 
 def pad_feat_dim_to_multiple_of_nheads(X_3d: np.ndarray, nheads: int):
-    """Zero-pad features to a multiple of nheads
-    (OpenPyStruct_FNN_MultiCase.py:117-136).  Returns (padded, new_dim)."""
-    B, Nc, original_dim = X_3d.shape
-    remainder = original_dim % nheads
-    if remainder == 0:
-        return X_3d, original_dim
-    new_dim = ((original_dim // nheads) + 1) * nheads
-    X_3d_padded = np.pad(
-        X_3d, ((0, 0), (0, 0), (0, new_dim - original_dim)), mode="constant"
-    )
-    return X_3d_padded, new_dim
+    """Zero-pad the feature axis up to a multiple of ``nheads`` so the
+    transformer's head split divides evenly (the role of the reference's
+    helper at OpenPyStruct_FNN_MultiCase.py:117-136).
+    Returns (padded, padded feature width)."""
+    pad = -X_3d.shape[2] % nheads
+    if pad:
+        X_3d = np.pad(X_3d, ((0, 0), (0, 0), (0, pad)))
+    return X_3d, X_3d.shape[2]
 
 
 # ---------------------------------------------------------------------------

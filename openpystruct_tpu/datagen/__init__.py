@@ -16,6 +16,7 @@ from openpystruct_tpu.datagen.generate import (
     generate_dataset,
     generate_dataset_json,
     generate_to_shards,
+    shards_to_json,
 )
 from openpystruct_tpu.datagen.io import (
     batch_to_columnar,
@@ -33,6 +34,7 @@ __all__ = [
     "generate_dataset",
     "generate_dataset_json",
     "generate_to_shards",
+    "shards_to_json",
     "batch_to_columnar",
     "write_json_dataset",
     "read_json_dataset",

@@ -204,12 +204,6 @@ def _json_fields(batch) -> dict:
     )
 
 
-def _concat_fields(chunks):
-    return {
-        k: np.concatenate([c[k] for c in chunks], axis=0) for k in chunks[0]
-    }
-
-
 def generate_dataset_json(
     key,
     num_samples: int,
@@ -224,22 +218,17 @@ def generate_dataset_json(
     progress: bool = False,
     use_pallas: Optional[bool] = None,
 ) -> int:
-    """Generate ``num_samples`` and write the reference-schema JSON straight
-    to ``path`` through the native C++ writer (falls back to the Python
-    serializer without a toolchain).  Returns the number of valid samples
-    written.  This is the fast end-to-end path: the Python per-sample
-    conversion otherwise dominates once generation runs at ~8k samples/s.
+    """Generate ``num_samples`` and stream the reference-schema JSON to
+    ``path`` batch by batch through the native C++ writer (pure-Python
+    fragment writer without a toolchain).  Peak host memory is one batch —
+    at the 1M-sample scale the accumulate-then-dump pattern would hold
+    multiple GB of host arrays and lose everything on a crash (the
+    reference's own failure mode, SingleCore.py:263-264).  Returns the
+    number of valid samples written.
     """
-    from openpystruct_tpu.datagen.io import (
-        batch_to_columnar,
-        write_json_dataset,
-    )
-    from openpystruct_tpu.datagen.native import (
-        native_available,
-        write_json_dataset_native,
-    )
+    from openpystruct_tpu.datagen.native import JsonStreamWriter
 
-    chunks = []
+    writer = JsonStreamWriter(path)
     done = 0
     while done < num_samples:
         b = min(batch_size, num_samples - done)
@@ -248,19 +237,11 @@ def generate_dataset_json(
             sub, b, scen_cfg, beam_cfg, opt_cfg, refine, pivot_tol,
             mesh, use_pallas=use_pallas,
         )
-        chunks.append(_json_fields(batch))
+        writer.append(_json_fields(batch))
         done += b
         if progress:
             print(f"{done} samples processed.")
-    merged = _concat_fields(chunks)
-    if native_available():
-        return write_json_dataset_native(merged, path)
-    # fallback: a minimal DatagenBatch-shaped shim for the Python writer
-    from openpystruct_tpu.datagen.io import columnar_from_fields
-
-    cols = columnar_from_fields(merged)
-    write_json_dataset(cols, path)
-    return len(cols["I_values"])
+    return writer.finalize()
 
 
 def generate_to_shards(
@@ -311,3 +292,23 @@ def generate_to_shards(
         if progress:
             print(f"{(i + 1) * batch_size} samples processed.")
     return paths
+
+
+def shards_to_json(shard_paths, path: str) -> int:
+    """Convert ``.npz`` shards (from ``generate_to_shards``) to the
+    reference-schema JSON, streaming one shard at a time.  Combined with
+    ``generate_to_shards`` this is the fully crash-safe datagen route: a
+    killed run resumes at the first missing shard and the conversion never
+    holds more than one shard in memory."""
+    from openpystruct_tpu.datagen.native import JsonStreamWriter
+
+    writer = JsonStreamWriter(path)
+    for p in shard_paths:
+        with np.load(p) as z:
+            writer.append(dict(
+                node_x=z["node_x"], roller=z["roller_mask"],
+                loads=z["point_loads"], I=z["I"], shear=z["shear_forces"],
+                moment=z["bending_moments"], defl=z["deflections"],
+                rot=z["rotations"], valid=z["valid"],
+            ))
+    return writer.finalize()

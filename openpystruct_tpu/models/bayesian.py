@@ -92,12 +92,19 @@ def bayes_kl(params, prior_mu: float = PRIOR_MU,
 
     Pass ``lambda p: scale * bayes_kl(p)`` as the harness's
     ``param_loss_fn`` (the reference's ``bnn_kl_scale * kl_loss``,
-    BNN:706-709)."""
+    BNN:706-709).
+
+    Matches any Mapping (plain dict or flax FrozenDict) so the KL cannot
+    silently evaluate to 0 when flax returns frozen params — the exact
+    silent-zero-KL quirk of the reference's torchbnn setup this module
+    documents fixing."""
+    from collections.abc import Mapping
+
     total = 0.0
 
     def visit(tree):
         nonlocal total
-        if isinstance(tree, dict):
+        if isinstance(tree, Mapping):
             if "mu_kernel" in tree and "log_sigma_kernel" in tree:
                 for mu_k, ls_k in (
                     ("mu_kernel", "log_sigma_kernel"),

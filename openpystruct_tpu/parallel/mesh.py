@@ -60,10 +60,18 @@ def shard_batch(tree, mesh: Mesh, axis: str = "data"):
 def initialize_multihost(**kwargs) -> None:
     """Initialize multi-host JAX (DCN-backed collectives between hosts).
 
-    Thin wrapper over ``jax.distributed.initialize``; no-op if already
-    initialized or single-process.
+    Thin wrapper over ``jax.distributed.initialize``; tolerates repeated
+    initialization but surfaces real failures — silently falling through to
+    single-process on a multi-host job would strand N-1 hosts.
     """
+    import logging
+
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return
+        logging.getLogger(__name__).error(
+            "jax.distributed.initialize failed: %s", e
+        )
+        raise

@@ -60,10 +60,14 @@ def _make_optimizer(cfg: TrainConfig, steps_per_epoch: int, train_alpha: bool,
     schedule = lambda count: cfg.learning_rate * (
         cfg.lr_gamma ** (count // steps_per_epoch)
     )
-    wd_mask = lambda params: jax.tree.map(lambda _: True, params["model"]) and {
-        "model": jax.tree.map(lambda _: True, params["model"]),
-        "alpha": False,
-    }
+    # Weight decay applies to the model parameters only, never to the loss
+    # alpha (the reference's optimizer sees only model params,
+    # OpenPyStruct_FNN_MultiCase.py:481; alpha gets its own optimizer there).
+    def wd_mask(params):
+        return {
+            "model": jax.tree.map(lambda _: True, params["model"]),
+            "alpha": False,
+        }
     if decoupled:
         # AdamW (the GNN script, OpenPyStruct_GNN_MultiCase_Beta.py:395)
         inner = optax.chain(
@@ -366,9 +370,13 @@ def fit(
 
 def predict(model, params, X, scaler_Y=None, rng=None,
             model_rng_keys: Sequence[str] = (), clip=(0.0, 1e10),
-            batch_stats=None):
+            batch_stats=None, batch_size: Optional[int] = None):
     """Batch inference; optionally un-standardize with ``scaler_Y`` and clip
-    (the reference's eval path, OpenPyStruct_FNN_MultiCase.py:611-628)."""
+    (the reference's eval path, OpenPyStruct_FNN_MultiCase.py:611-628).
+
+    ``batch_size`` chunks the forward pass so arbitrarily large sets don't
+    have to fit activations on-device at once; the final ragged chunk runs
+    at its own shape (one extra compile at most)."""
     rngs = None
     if model_rng_keys:
         rng = jax.random.PRNGKey(0) if rng is None else rng
@@ -377,11 +385,22 @@ def predict(model, params, X, scaler_Y=None, rng=None,
     variables = {"params": params["model"]}
     if batch_stats is not None:
         variables["batch_stats"] = batch_stats
-    preds = model.apply(
-        variables, jnp.asarray(X, jnp.float32),
-        train=False, rngs=rngs,
-    )
-    preds = np.asarray(preds)
+    X = jnp.asarray(X, jnp.float32)
+
+    def apply(Xb):
+        return model.apply(variables, Xb, train=False, rngs=rngs)
+
+    if batch_size is None or X.shape[0] <= batch_size:
+        preds = np.asarray(apply(X))
+    else:
+        apply_j = jax.jit(apply)
+        chunks = [
+            np.asarray(apply_j(X[i:i + batch_size]))
+            if X.shape[0] - i >= batch_size
+            else np.asarray(apply(X[i:]))
+            for i in range(0, X.shape[0], batch_size)
+        ]
+        preds = np.concatenate(chunks, axis=0)
     if scaler_Y is not None:
         preds = scaler_Y.inverse_transform(preds)
         if clip is not None:
@@ -391,13 +410,24 @@ def predict(model, params, X, scaler_Y=None, rng=None,
 
 def evaluate_r2(model, params, X_val, Y_val_std, scaler_Y, rng=None,
                 model_rng_keys: Sequence[str] = (),
-                batch_stats=None) -> float:
+                batch_stats=None, label_slice: Optional[slice] = None,
+                batch_size: Optional[int] = None) -> float:
     """R^2 on un-standardized, clipped predictions vs labels
-    (OpenPyStruct_FNN_MultiCase.py:598-632)."""
+    (OpenPyStruct_FNN_MultiCase.py:598-632).
+
+    ``label_slice`` restricts the score to a column range — the PINN's
+    headline metric is R^2 on the I slice only
+    (OpenPyStruct_PINN_MultiCase.py:831-852, "R^2 on Validation (I only)").
+    The scaler is per-column, so slicing after the inverse transform equals
+    the reference's slice-then-I-scaler order."""
     preds = predict(model, params, X_val, scaler_Y, rng=rng,
-                    model_rng_keys=model_rng_keys, batch_stats=batch_stats)
+                    model_rng_keys=model_rng_keys, batch_stats=batch_stats,
+                    batch_size=batch_size)
     labels = scaler_Y.inverse_transform(np.asarray(Y_val_std))
     labels = np.clip(labels, 0.0, 1e10)
+    if label_slice is not None:
+        preds = preds[:, label_slice]
+        labels = labels[:, label_slice]
     ss_res = float(((labels - preds) ** 2).sum())
     ss_tot = float(((labels - labels.mean()) ** 2).sum())
     return 1.0 - ss_res / ss_tot
