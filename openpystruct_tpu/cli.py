@@ -71,7 +71,10 @@ def _add_train(sub):
     p.add_argument("--epochs", type=int, default=None,
                    help="override the family's reference epoch budget")
     p.add_argument("--checkpoint", type=str, default=None,
-                   help="directory for the best-model orbax checkpoint")
+                   help="directory for the best-model orbax checkpoint; the "
+                        "full resumable train state goes to <dir>_state")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from <checkpoint>_state if it exists")
     p.add_argument("--epochs-per-sync", type=int, default=10)
     p.add_argument("--mesh", action="store_true")
     p.add_argument("--plot", type=str, default=None)
@@ -248,11 +251,20 @@ def cmd_train(args):
         from openpystruct_tpu.parallel import default_mesh
 
         mesh = default_mesh()
+    state_dir = args.checkpoint + "_state" if args.checkpoint else None
+    resume_from = None
+    if args.resume and state_dir:
+        import os
+
+        if os.path.isdir(state_dir):
+            resume_from = state_dir
+            print(f"resuming from {state_dir}")
     t0 = time.time()
     res = fit(
         model, ds.X_train, ds.Y_train, ds.X_val, ds.Y_val, cfg,
         rng=jax.random.PRNGKey(args.seed), mesh=mesh,
-        epochs_per_sync=args.epochs_per_sync, verbose=True, **fit_kwargs,
+        epochs_per_sync=args.epochs_per_sync, verbose=True,
+        checkpoint_dir=state_dir, resume_from=resume_from, **fit_kwargs,
     )
     dt = time.time() - t0
     # The PINN's headline metric is R^2 on the I slice only

@@ -110,6 +110,9 @@ def fit(
     epochs_per_sync: int = 1,
     verbose: bool = False,
     metrics=None,
+    checkpoint_dir: Optional[str] = None,
+    resume_from: Optional[str] = None,
+    checkpoint_every: int = 1,
 ) -> FitResult:
     """Train ``model`` with the shared reference recipe.
 
@@ -128,6 +131,15 @@ def fit(
 
     ``metrics``: an optional ``utils.MetricsLogger`` receiving one entry per
     epoch (train_loss, val_loss).
+
+    ``checkpoint_dir``: save the FULL training state (params, optimizer
+    state, best-so-far, loop rng, epoch counters, loss histories) every
+    ``checkpoint_every`` sync chunks; ``resume_from`` restores such a
+    checkpoint and continues — with identical data, config and
+    ``epochs_per_sync``, the resumed run reproduces the uninterrupted
+    val-loss trajectory exactly (the loop rng is checkpointed before its
+    next split).  This is the mid-run resume the reference lacks (it only
+    ``torch.save``'s a best state_dict, SURVEY.md §5).
     """
     if rng is None:
         rng = jax.random.PRNGKey(cfg.seed)
@@ -320,6 +332,61 @@ def fit(
     stopped = False
     epoch0 = 0
 
+    if resume_from:
+        import os
+
+        from openpystruct_tpu.train.checkpoint import load_checkpoint
+
+        # Target-based restore: the templates built above supply the pytree
+        # structure (incl. optax namedtuples), the checkpoint the values.
+        template = {
+            "state": jax.device_get(state),
+            "best": jax.device_get(best),
+            "rng": jax.device_get(rng),
+        }
+        raw = load_checkpoint(
+            os.path.join(resume_from, "tree"), target=template
+        )
+        state, best = raw["state"], raw["best"]
+        rng = jnp.asarray(raw["rng"])
+        with np.load(os.path.join(resume_from, "aux.npz")) as aux:
+            epoch0 = int(aux["epoch0"])
+            best_epoch = int(aux["best_epoch"])
+            epochs_no_improve = int(aux["epochs_no_improve"])
+            best_val = float(aux["best_val"])
+            train_hist = [float(x) for x in aux["train_hist"]]
+            val_hist = [float(x) for x in aux["val_hist"]]
+        if mesh is not None:
+            rep = jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec()
+            )
+            state = jax.device_put(state, rep)
+            best = jax.device_put(best, rep)
+
+    def _save_full_state():
+        import os
+
+        from openpystruct_tpu.train.checkpoint import save_checkpoint
+
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        save_checkpoint(os.path.join(checkpoint_dir, "tree"), {
+            "state": jax.device_get(state),
+            "best": jax.device_get(best),
+            "rng": jax.device_get(rng),
+        })
+        tmp = os.path.join(checkpoint_dir, ".aux.tmp.npz")
+        np.savez(
+            tmp,
+            epoch0=np.int64(epoch0),
+            best_epoch=np.int64(best_epoch),
+            epochs_no_improve=np.int64(epochs_no_improve),
+            best_val=np.float64(best_val),
+            train_hist=np.asarray(train_hist, np.float64),
+            val_hist=np.asarray(val_hist, np.float64),
+        )
+        os.replace(tmp, os.path.join(checkpoint_dir, "aux.npz"))
+
+    chunks_done = 0
     while epoch0 < cfg.num_epochs and not stopped:
         chunk = min(epochs_per_sync, cfg.num_epochs - epoch0)
         rng, sub = jax.random.split(rng)
@@ -352,6 +419,13 @@ def fit(
                     f"Train Loss={tr[i]:.6f}, Val Loss={va[i]:.6f}"
                 )
         epoch0 += chunk
+        chunks_done += 1
+        if checkpoint_dir and (
+            chunks_done % checkpoint_every == 0
+            or stopped
+            or epoch0 >= cfg.num_epochs
+        ):
+            _save_full_state()
 
     _, best_params_dev, best_stats_dev = best
     best_params = jax.device_get(best_params_dev)
