@@ -106,12 +106,18 @@ def device_rate(sc, I, batch=8192, reps=10, refine=1):
         )
     out = fn(Ib)
     out.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(Ib)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
-    return batch / dt
+    # Remote-device links add ~10% run-to-run jitter; take the best of
+    # several timing rounds (the standard throughput-measurement practice —
+    # slower rounds measure interference, not the kernel).
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(Ib)
+        out.block_until_ready()
+        dt = (time.perf_counter() - t0) / reps
+        best = max(best, batch / dt)
+    return best
 
 
 def main():
@@ -119,8 +125,9 @@ def main():
 
     I = np.full(100, 0.5, np.float32)
     sc, diag, upper, f = build_system(I)
-    base = cpu_baseline_rate(diag, upper, f)
-    dev = device_rate(sc, I)
+    base = max(cpu_baseline_rate(diag, upper, f, iters=100)
+               for _ in range(3))
+    dev = device_rate(sc, I, reps=30)
     print(
         f"device={jax.devices()[0]} base={base:.0f}/s dev={dev:.0f}/s",
         file=sys.stderr,

@@ -1,20 +1,34 @@
-"""Fully-fused beam FEA kernel: assembly + BCs + scaling + solve + forces.
+"""Fully-fused beam FEA kernels: assembly + BCs + scaling + solve + forces,
+plus a whole-optimizer-iteration kernel (loss + gradient + Adam in VMEM).
 
 The split pipeline (XLA assembly -> Pallas solve) materializes the
 (B, nelem, 6, 6) element-stiffness table in HBM every optimizer iteration
-(~118 MB at B=8192) plus the banded system itself.  This kernel takes only
+(~118 MB at B=8192) plus the banded system itself.  These kernels take only
 the raw scenario arrays — I, element lengths, constraint masks, nodal loads,
-UDL — and performs the entire linear-static analysis in VMEM:
+UDL — and perform the entire linear-static analysis in VMEM:
 
   element stiffness coefficients -> block-tridiagonal assembly ->
-  constraint masking -> Jacobi scaling -> block-Thomas solve
-  [-> compensated-residual refinement] -> displacement unscaling ->
+  constraint masking -> Jacobi scaling -> block-Thomas factorization
+  (Schur inverses SAVED) -> substitution [-> compensated-residual
+  refinement, substitution-only] -> displacement unscaling ->
   element end-force recovery (shear V, moment M).
 
+Saving the Schur inverses makes every extra solve against the same K a pair
+of O(n k^2) substitution sweeps instead of an O(n k^3) refactorization —
+that is what makes both iterative refinement and the adjoint solve cheap.
+
+Two entry points ride this machinery:
+
+- ``pallas_beam_analysis``: the batched FEA with an analytic ``custom_vjp``
+  (implicit adjoint = one more fused solve), so adjoint-mode optimization
+  runs at fused-kernel speed;
+- ``pallas_beam_opt_step``: ONE WHOLE optimizer iteration — solve, combined
+  loss (OpenPyStruct_BeamOpt.py:128-168 semantics), its gradient in either
+  semi-gradient or exact-adjoint mode, and the Adam update — per kernel
+  launch, with only (B, nelem) state arrays touching HBM.
+
 Everything is (sublane, lane) element-wise VPU work with the scenario batch
-across lanes, like ops/block_tridiag.py.  Outputs: u (B, n, 3), V and M
-(B, nelem) — exactly the fields the optimizer loss and the dataset schema
-consume (OpenPyStruct_BeamOpt.py:128-144).
+across lanes, like ops/block_tridiag.py.
 """
 
 from __future__ import annotations
@@ -60,37 +74,31 @@ def _two_sum(a, b):
     return s, e
 
 
-def _beam_kernel(
-    refine,  # static (functools.partial)
-    I_ref,     # (1, nelem, S, L)
-    Le_ref,    # (1, nelem, S, L)
-    free_ref,  # (1, n, 3, S, L) float 0/1 mask of free DOFs
-    load_ref,  # (1, n, S, L) nodal Fy
-    udl_ref,   # (1, 1, S, L)
-    ea_ref,    # (1, 1, S, L)  E*A broadcast
-    e_ref,     # (1, 1, S, L)  E broadcast
-    u_out,     # (1, n, 3, S, L)
-    V_out,     # (1, nelem, S, L)
-    M_out,     # (1, nelem, S, L)
-    piv_out,   # (1, 1, S, L) min |det S| over the factorization sweep
-    ks_scr,    # (nelem, 5, S, L): ea/Le, 12EI/Le^3, 6EI/Le^2, 4EI/Le, 2EI/Le
-    diag_scr,  # (n, 3, 3, S, L)
-    upper_scr,  # (n, 3, 3, S, L) (last block zero)
-    f_scr,     # (n, 3, S, L)
-    s_scr,     # (n, 3, S, L) Jacobi scales
-    c_scr,     # (n, 3, 3, S, L)
-    y_scr,     # (n, 3, S, L)
-    r_scr,     # (n, 3, S, L) refinement work vector (keeps f_scr intact)
-):
-    nelem = I_ref.shape[1]
-    n = nelem + 1
-    E = e_ref[0, 0]
-    EA = ea_ref[0, 0]
-    w = udl_ref[0, 0]
-    zero = jnp.zeros_like(E)
+def _det3(m):
+    a, b, c = m[0]
+    d, e, f = m[1]
+    g, h, i_ = m[2]
+    return (a * (e * i_ - f * h) - b * (d * i_ - f * g)
+            + c * (d * h - e * g))
 
-    # --- element stiffness coefficients ---------------------------------
-    def ks_body(j, _):
+
+def _read_mat(ref, i):
+    return [[ref[i, a, b] for b in range(3)] for a in range(3)]
+
+
+def _read_vec(ref, i):
+    return [ref[i, a] for a in range(3)]
+
+
+# ---------------------------------------------------------------------------
+# Shared kernel stages.  Each takes the scratch refs it reads/writes; all
+# solve-space quantities are in the Jacobi-scaled system K_s = S K S.
+# ---------------------------------------------------------------------------
+
+def _stage_stiffness(nelem, I_ref, Le_ref, E, EA, ks_scr):
+    """ks rows per element: EA/Le, 12EI/Le^3, 6EI/Le^2, 4EI/Le, 2EI/Le."""
+
+    def body(j, _):
         Le = Le_ref[0, j]
         I = I_ref[0, j]
         inv_le = 1.0 / Le
@@ -104,35 +112,32 @@ def _beam_kernel(
         ks_scr[j, 4] = 2.0 * eil
         return 0
 
-    jax.lax.fori_loop(0, nelem, ks_body, 0)
+    jax.lax.fori_loop(0, nelem, body, 0)
 
-    # --- assembly + consistent loads + constraints + Jacobi scaling -----
-    def asm_body(i, _):
+
+def _stage_assemble(nelem, Le_ref, free_ref, load_ref, udl_ref, rhs_ref,
+                    ks_scr, diag_scr, upper_scr, f_scr):
+    """Masked block-tridiagonal assembly + RHS (loads+UDL or explicit)."""
+    n = nelem + 1
+    zero = jnp.zeros_like(ks_scr[0, 0])
+    w = udl_ref[0, 0] if udl_ref is not None else None
+
+    def body(i, _):
         has_prev = i > 0
         has_next = i < nelem
 
         def ks_of(j, active):
-            # masked read: inactive -> zeros
             jj = jnp.clip(j, 0, nelem - 1)
-            m = jnp.where(active, 1.0, 0.0).astype(I_ref.dtype)
+            m = jnp.where(active, 1.0, 0.0).astype(zero.dtype)
             return [ks_scr[jj, k] * m for k in range(5)]
 
         ea_p, k11_p, k12_p, k13_p, _k2p = ks_of(i - 1, has_prev)
         ea_n, k11_n, k12_n, k13_n, k2_n = ks_of(i, has_next)
 
-        # diag block: lower-right of elem i-1 + upper-left of elem i
         d00 = ea_p + ea_n
         d11 = k11_p + k11_n
         d12 = -k12_p + k12_n
         d22 = k13_p + k13_n
-
-        # consistent UDL loads
-        Le_p = jnp.where(has_prev, Le_ref[0, jnp.clip(i - 1, 0, nelem - 1)],
-                         zero)
-        Le_n = jnp.where(has_next, Le_ref[0, jnp.clip(i, 0, nelem - 1)],
-                         zero)
-        fy = load_ref[0, i] + w * (Le_p + Le_n) * 0.5
-        fm = w * (Le_n * Le_n - Le_p * Le_p) / 12.0
 
         free = [free_ref[0, i, a] for a in range(3)]
         con = [1.0 - fa for fa in free]
@@ -150,31 +155,44 @@ def _beam_kernel(
         diag_scr[i, 2, 2] = d22 * free[2] * free[2] + con[2] * d22
 
         # upper block couples node i to i+1 (element i); zero at the end
-        free_n = [free_ref[0, jnp.clip(i + 1, 0, n - 1), a] for a in range(3)]
-        u00 = -ea_n
-        u11 = -k11_n
-        u12 = k12_n
-        u21 = -k12_n
-        u22 = k2_n
-        upper_scr[i, 0, 0] = u00 * free[0] * free_n[0]
+        free_n = [free_ref[0, jnp.clip(i + 1, 0, n - 1), a]
+                  for a in range(3)]
+        upper_scr[i, 0, 0] = -ea_n * free[0] * free_n[0]
         upper_scr[i, 0, 1] = zero
         upper_scr[i, 0, 2] = zero
         upper_scr[i, 1, 0] = zero
-        upper_scr[i, 1, 1] = u11 * free[1] * free_n[1]
-        upper_scr[i, 1, 2] = u12 * free[1] * free_n[2]
+        upper_scr[i, 1, 1] = -k11_n * free[1] * free_n[1]
+        upper_scr[i, 1, 2] = k12_n * free[1] * free_n[2]
         upper_scr[i, 2, 0] = zero
-        upper_scr[i, 2, 1] = u21 * free[2] * free_n[1]
-        upper_scr[i, 2, 2] = u22 * free[2] * free_n[2]
+        upper_scr[i, 2, 1] = -k12_n * free[2] * free_n[1]
+        upper_scr[i, 2, 2] = k2_n * free[2] * free_n[2]
 
-        f_scr[i, 0] = zero
-        f_scr[i, 1] = fy * free[1]
-        f_scr[i, 2] = fm * free[2]
+        if rhs_ref is not None:
+            f_scr[i, 0] = rhs_ref[0, i, 0] * free[0]
+            f_scr[i, 1] = rhs_ref[0, i, 1] * free[1]
+            f_scr[i, 2] = rhs_ref[0, i, 2] * free[2]
+        else:
+            # consistent UDL loads + nodal point loads
+            Le_p = jnp.where(
+                has_prev, Le_ref[0, jnp.clip(i - 1, 0, nelem - 1)], zero
+            )
+            Le_n = jnp.where(
+                has_next, Le_ref[0, jnp.clip(i, 0, nelem - 1)], zero
+            )
+            fy = load_ref[0, i] + w * (Le_p + Le_n) * 0.5
+            fm = w * (Le_n * Le_n - Le_p * Le_p) / 12.0
+            f_scr[i, 0] = zero
+            f_scr[i, 1] = fy * free[1]
+            f_scr[i, 2] = fm * free[2]
         return 0
 
-    jax.lax.fori_loop(0, n, asm_body, 0)
+    jax.lax.fori_loop(0, n, body, 0)
 
-    # Jacobi scaling s = rsqrt(diag entries); scale diag/upper/f in place
-    def scale_body(i, _):
+
+def _stage_scale(n, diag_scr, upper_scr, f_scr, s_scr):
+    """Jacobi scaling s = rsqrt(diag); scale diag/upper/f in place."""
+
+    def body(i, _):
         for a in range(3):
             s_scr[i, a] = jax.lax.rsqrt(diag_scr[i, a, a])
         for a in range(3):
@@ -182,14 +200,13 @@ def _beam_kernel(
                 diag_scr[i, a, b] = (
                     diag_scr[i, a, b] * s_scr[i, a] * s_scr[i, b]
                 )
-        f_scr[i, 0] = f_scr[i, 0] * s_scr[i, 0]
-        f_scr[i, 1] = f_scr[i, 1] * s_scr[i, 1]
-        f_scr[i, 2] = f_scr[i, 2] * s_scr[i, 2]
+        for a in range(3):
+            f_scr[i, a] = f_scr[i, a] * s_scr[i, a]
         return 0
 
-    jax.lax.fori_loop(0, n, scale_body, 0)
+    jax.lax.fori_loop(0, n, body, 0)
 
-    def scale_upper_body(i, _):
+    def body_u(i, _):
         for a in range(3):
             for b in range(3):
                 upper_scr[i, a, b] = (
@@ -197,149 +214,199 @@ def _beam_kernel(
                 )
         return 0
 
-    jax.lax.fori_loop(0, n - 1, scale_upper_body, 0)
+    jax.lax.fori_loop(0, n - 1, body_u, 0)
 
-    # --- block-Thomas factor + solve ------------------------------------
-    def read_mat(ref, i):
-        return [[ref[i, a, b] for b in range(3)] for a in range(3)]
 
-    def read_vec(ref, i):
-        return [ref[i, a] for a in range(3)]
+def _stage_factor(n, diag_scr, upper_scr, sinv_scr, c_scr=None,
+                  rhs_ref=None, y_ref=None):
+    """Block-Thomas factorization storing the Schur-complement INVERSES
+    (and, when ``c_scr`` is given, the back-substitution multipliers
+    C_i = Sinv_i U_i): every subsequent solve against this K is then two
+    O(n k^2) substitution sweeps.  Returns min |det S_i| (the singularity
+    pivot diagnostic).
 
-    def _det3(m):
-        a, b, c = m[0]
-        d, e, f = m[1]
-        g, h, i_ = m[2]
-        return (a * (e * i_ - f * h) - b * (d * i_ - f * g)
-                + c * (d * h - e * g))
+    Storing C costs one more (n, 3, 3) VMEM buffer but halves the serial
+    dependency chain of the (latency-bound) backward sweep; kernels with
+    VMEM to spare pass ``c_scr``, the opt-step kernel (tighter budget)
+    recomputes Sinv_i (U_i x) on the fly instead.
 
-    d0 = read_mat(diag_scr, 0)
+    When ``rhs_ref``/``y_ref`` are given, the primal forward substitution
+    y_i = Sinv_i (f_i - U_{i-1}^T y_{i-1}) is FUSED into the same serial
+    sweep — the factorization and the forward solve are one O(n) pass, so
+    the primal solve costs only one extra (backward) sweep.
+    """
+    d0 = _read_mat(diag_scr, 0)
     sinv0 = _inv3_slabs(d0)
-    c0 = _mm(sinv0, read_mat(upper_scr, 0))
-    y0 = _mv(sinv0, read_vec(f_scr, 0))
     for a in range(3):
         for b in range(3):
-            c_scr[0, a, b] = c0[a][b]
-        y_scr[0, a] = y0[a]
-
-    def fwd(min_det, i):
-        lm = _t(read_mat(upper_scr, i - 1))
-        c_prev = read_mat(c_scr, i - 1)
-        s = _sub_m(read_mat(diag_scr, i), _mm(lm, c_prev))
-        sinv = _inv3_slabs(s)
-        cc = _mm(sinv, read_mat(upper_scr, i))
-        y = _mv(sinv, _sub_v(read_vec(f_scr, i),
-                             _mv(lm, read_vec(y_scr, i - 1))))
+            sinv_scr[0, a, b] = sinv0[a][b]
+    if c_scr is not None:
+        c0 = _mm(sinv0, _read_mat(upper_scr, 0))
         for a in range(3):
             for b in range(3):
-                c_scr[i, a, b] = cc[a][b]
-            y_scr[i, a] = y[a]
+                c_scr[0, a, b] = c0[a][b]
+    if rhs_ref is not None:
+        y0 = _mv(sinv0, _read_vec(rhs_ref, 0))
+        for a in range(3):
+            y_ref[0, a] = y0[a]
+
+    def fwd(i, min_det):
+        u_prev = _read_mat(upper_scr, i - 1)
+        if c_scr is not None:
+            c_prev = _read_mat(c_scr, i - 1)
+        else:
+            c_prev = _mm(_read_mat(sinv_scr, i - 1), u_prev)
+        s = _sub_m(_read_mat(diag_scr, i), _mm(_t(u_prev), c_prev))
+        sinv = _inv3_slabs(s)
+        for a in range(3):
+            for b in range(3):
+                sinv_scr[i, a, b] = sinv[a][b]
+        if c_scr is not None:
+            c = _mm(sinv, _read_mat(upper_scr, i))
+            for a in range(3):
+                for b in range(3):
+                    c_scr[i, a, b] = c[a][b]
+        if rhs_ref is not None:
+            y = _mv(sinv, _sub_v(_read_vec(rhs_ref, i),
+                                 _mv(_t(u_prev), _read_vec(y_ref, i - 1))))
+            for a in range(3):
+                y_ref[i, a] = y[a]
         return jnp.minimum(min_det, jnp.abs(_det3(s)))
 
-    min_det = jax.lax.fori_loop(
-        1, n, lambda i, md: fwd(md, i), jnp.abs(_det3(d0))
-    )
-    piv_out[0, 0] = min_det
+    return jax.lax.fori_loop(1, n, fwd, jnp.abs(_det3(d0)))
 
-    # back substitution: x overwrites y_scr
+
+def _substitute_inplace(n, upper_scr, sinv_scr, x_ref, c_scr=None):
+    """Solve K_s x = rhs in place (x_ref holds rhs on entry, x on exit)
+    using the saved factors: forward y_i = Sinv_i (r_i - U_{i-1}^T
+    y_{i-1}), backward x_i = y_i - C_i x_{i+1} (C read from ``c_scr`` when
+    stored, else recomputed as Sinv_i (U_i x_{i+1}))."""
+    y0 = _mv(_read_mat(sinv_scr, 0), _read_vec(x_ref, 0))
+    for a in range(3):
+        x_ref[0, a] = y0[a]
+
+    def fwd(i, _):
+        lm = _t(_read_mat(upper_scr, i - 1))
+        y = _mv(
+            _read_mat(sinv_scr, i),
+            _sub_v(_read_vec(x_ref, i), _mv(lm, _read_vec(x_ref, i - 1))),
+        )
+        for a in range(3):
+            x_ref[i, a] = y[a]
+        return 0
+
+    jax.lax.fori_loop(1, n, fwd, 0)
+    _back_substitute(n, upper_scr, sinv_scr, x_ref, c_scr)
+
+
+def _back_substitute(n, upper_scr, sinv_scr, x_ref, c_scr=None):
+    """x_i = y_i - C_i x_{i+1} in place (y in x_ref on entry)."""
+
     def bwd(k, _):
         i = n - 2 - k
-        x = _sub_v(read_vec(y_scr, i),
-                   _mv(read_mat(c_scr, i), read_vec(y_scr, i + 1)))
+        if c_scr is not None:
+            cx = _mv(_read_mat(c_scr, i), _read_vec(x_ref, i + 1))
+        else:
+            cx = _mv(_read_mat(sinv_scr, i),
+                     _mv(_read_mat(upper_scr, i), _read_vec(x_ref, i + 1)))
+        x = _sub_v(_read_vec(x_ref, i), cx)
         for a in range(3):
-            y_scr[i, a] = x[a]
+            x_ref[i, a] = x[a]
         return 0
 
     jax.lax.fori_loop(0, n - 1, bwd, 0)
 
-    # --- compensated-residual refinement (static unroll) ----------------
+
+def _stage_refine(n, refine, diag_scr, upper_scr, sinv_scr, rhs_ref, x_ref,
+                  work_ref, c_scr=None):
+    """``refine`` compensated-residual sweeps; each is one error-free
+    residual + one substitution (factors reused, no refactorization)."""
     for _ in range(refine):
-        # Pass 1: r = f - K x via error-free transformations, band reads
-        # masked at the boundaries (no predication needed); r is staged in
-        # u_out (same (n, 3) shape) before the correction solve.
         def resid_body(i, _):
-            one = jnp.ones_like(f_scr[0, 0])
+            one = jnp.ones_like(rhs_ref[0, 0])
             m_prev = jnp.where(i > 0, one, 0.0 * one)
             m_next = jnp.where(i < n - 1, one, 0.0 * one)
             ip = jnp.maximum(i - 1, 0)
             iq = jnp.minimum(i, n - 2)
             inx = jnp.minimum(i + 1, n - 1)
-            x_i = read_vec(y_scr, i)
-            x_p = [y_scr[ip, b] * m_prev for b in range(3)]
-            x_n = [y_scr[inx, b] * m_next for b in range(3)]
-            m_d = read_mat(diag_scr, i)
-            lm = _t(read_mat(upper_scr, ip))       # masked via x_p
-            um = read_mat(upper_scr, iq)           # masked via x_n
+            x_i = _read_vec(x_ref, i)
+            x_p = [x_ref[ip, b] * m_prev for b in range(3)]
+            x_n = [x_ref[inx, b] * m_next for b in range(3)]
+            m_d = _read_mat(diag_scr, i)
+            lm = _t(_read_mat(upper_scr, ip))      # masked via x_p
+            um = _read_mat(upper_scr, iq)          # masked via x_n
             for a in range(3):
-                acc_s = f_scr[i, a]
+                acc_s = rhs_ref[i, a]
                 acc_c = jnp.zeros_like(acc_s)
                 for b in range(3):
                     for mat, vec in ((m_d, x_i), (lm, x_p), (um, x_n)):
                         p, e = _two_prod(-mat[a][b], vec[b])
                         acc_s, e2 = _two_sum(acc_s, p)
                         acc_c = acc_c + e2 + e
-                u_out[0, i, a] = acc_s + acc_c
+                work_ref[i, a] = acc_s + acc_c
             return 0
 
         jax.lax.fori_loop(0, n, resid_body, 0)
-
-        # Pass 2: solve K dx = r with the saved factors (c_scr holds C,
-        # and we refactor Sinv on the fly is NOT saved — redo substitution
-        # using diag/upper requires Sinv; instead store dx via a fresh
-        # forward/backward using c_scr and recomputed Sinv would double
-        # work.  Simpler: rerun the full Thomas on r (still VMEM-resident).
-        sinv0 = _inv3_slabs(read_mat(diag_scr, 0))
-        c0 = _mm(sinv0, read_mat(upper_scr, 0))
-        r0 = [u_out[0, 0, a] for a in range(3)]
-        y0 = _mv(sinv0, r0)
-        for a in range(3):
-            for b in range(3):
-                c_scr[0, a, b] = c0[a][b]
-            r_scr[0, a] = y0[a]
-
-        def fwd2(i, _):
-            lm = _t(read_mat(upper_scr, i - 1))
-            c_prev = read_mat(c_scr, i - 1)
-            s = _sub_m(read_mat(diag_scr, i), _mm(lm, c_prev))
-            sinv = _inv3_slabs(s)
-            cc = _mm(sinv, read_mat(upper_scr, i))
-            r_i = [u_out[0, i, a] for a in range(3)]
-            yv = _mv(sinv, _sub_v(r_i, _mv(lm, read_vec(r_scr, i - 1))))
-            for a in range(3):
-                for b in range(3):
-                    c_scr[i, a, b] = cc[a][b]
-                r_scr[i, a] = yv[a]
-            return 0
-
-        jax.lax.fori_loop(1, n, fwd2, 0)
-
-        def bwd2(k, _):
-            i = n - 2 - k
-            dx = _sub_v(read_vec(r_scr, i),
-                        _mv(read_mat(c_scr, i), read_vec(r_scr, i + 1)))
-            for a in range(3):
-                r_scr[i, a] = dx[a]
-            return 0
-
-        jax.lax.fori_loop(0, n - 1, bwd2, 0)
+        _substitute_inplace(n, upper_scr, sinv_scr, work_ref, c_scr)
 
         def addcorr(i, _):
             for a in range(3):
-                y_scr[i, a] = y_scr[i, a] + r_scr[i, a]
+                x_ref[i, a] = x_ref[i, a] + work_ref[i, a]
             return 0
 
         jax.lax.fori_loop(0, n, addcorr, 0)
 
-    # --- unscale displacements + write u --------------------------------
-    def unscale_body(i, _):
+
+# ---------------------------------------------------------------------------
+# Kernel bodies
+# ---------------------------------------------------------------------------
+
+def _beam_kernel(refine, explicit_rhs, recover_forces, *refs):
+    """FEA kernel: u (+ V, M) + pivot for one slab of scenarios."""
+    if explicit_rhs:
+        (I_ref, Le_ref, free_ref, rhs_ref, ea_ref, e_ref, *refs) = refs
+        load_ref = udl_ref = None
+    else:
+        (I_ref, Le_ref, free_ref, load_ref, udl_ref, ea_ref, e_ref,
+         *refs) = refs
+        rhs_ref = None
+    if recover_forces:
+        u_out, V_out, M_out, piv_out, *refs = refs
+    else:
+        u_out, piv_out, *refs = refs
+    ks_scr, diag_scr, upper_scr, f_scr, s_scr, sinv_scr, c_scr, y_scr = refs
+
+    nelem = I_ref.shape[1]
+    n = nelem + 1
+    E = e_ref[0, 0]
+    EA = ea_ref[0, 0]
+
+    _stage_stiffness(nelem, I_ref, Le_ref, E, EA, ks_scr)
+    _stage_assemble(nelem, Le_ref, free_ref, load_ref, udl_ref, rhs_ref,
+                    ks_scr, diag_scr, upper_scr, f_scr)
+    _stage_scale(n, diag_scr, upper_scr, f_scr, s_scr)
+    # factor + forward substitution fused in one serial sweep
+    piv_out[0, 0] = _stage_factor(n, diag_scr, upper_scr, sinv_scr, c_scr,
+                                  f_scr, y_scr)
+    _back_substitute(n, upper_scr, sinv_scr, y_scr, c_scr)
+    # refinement work vector: borrow the (n, 3) u output block (overwritten
+    # with the real displacements right after)
+    _stage_refine(n, refine, diag_scr, upper_scr, sinv_scr, f_scr, y_scr,
+                  u_out.at[0], c_scr)
+
+    # unscale displacements
+    def unscale(i, _):
         for a in range(3):
             u_out[0, i, a] = y_scr[i, a] * s_scr[i, a]
         return 0
 
-    jax.lax.fori_loop(0, n, unscale_body, 0)
+    jax.lax.fori_loop(0, n, unscale, 0)
 
-    # --- element end-force recovery (V, M at the start node) -----------
-    # local p = k_e @ [u_i; u_j] - f_eq;  V = p[1], M = p[2]
+    if not recover_forces:
+        return
+    w = udl_ref[0, 0] if udl_ref is not None else jnp.zeros_like(E)
+
+    # element end forces: local p = k_e [u_i; u_j] - f_eq; V = p[1], M = p[2]
     def force_body(j, _):
         k11 = ks_scr[j, 1]
         k12 = ks_scr[j, 2]
@@ -350,20 +417,193 @@ def _beam_kernel(
         th_i = u_out[0, j, 2]
         uy_j = u_out[0, j + 1, 1]
         th_j = u_out[0, j + 1, 2]
-        V = (
+        V_out[0, j] = (
             k11 * uy_i + k12 * th_i - k11 * uy_j + k12 * th_j
             - w * Le * 0.5
         )
-        M = (
+        M_out[0, j] = (
             k12 * uy_i + k13 * th_i - k12 * uy_j + k2 * th_j
             - w * Le * Le / 12.0
         )
-        V_out[0, j] = V
-        M_out[0, j] = M
         return 0
 
     jax.lax.fori_loop(0, nelem, force_body, 0)
 
+
+def _beam_opt_kernel(refine, grad_semi, G, alpha_m, alpha_s, clamp_min,
+                     *refs):
+    """One whole Adam iteration of the I-field optimization in VMEM.
+
+    Loss semantics: sum(I) + alpha_m sum(M^2/(2EI+1e-6)) +
+    alpha_s sum(V^2/(G 0.03 sqrt(I))) (OpenPyStruct_BeamOpt.py:128-168).
+    ``grad_semi`` selects the reference's semi-gradient (M, V constant) or
+    the exact adjoint: d/dI of the loss through the solve, computed with
+    one extra substitution pair against the saved factorization.
+    """
+    (I_ref, Le_ref, free_ref, load_ref, udl_ref, ea_ref, e_ref,
+     mu_ref, nu_ref, hyp_ref,
+     I_out, mu_out, nu_out, stats_out,
+     ks_scr, diag_scr, upper_scr, f_scr, s_scr, sinv_scr, y_scr, r_scr,
+     g_scr, *adj_refs) = refs
+    if not grad_semi:
+        gv_scr, gm_scr, rthj_scr = adj_refs
+
+    nelem = I_ref.shape[1]
+    n = nelem + 1
+    E = e_ref[0, 0]
+    EA = ea_ref[0, 0]
+    w = udl_ref[0, 0]
+    dtype = E.dtype
+
+    # ---- solve at the current I ----------------------------------------
+    _stage_stiffness(nelem, I_ref, Le_ref, E, EA, ks_scr)
+    _stage_assemble(nelem, Le_ref, free_ref, load_ref, udl_ref, None,
+                    ks_scr, diag_scr, upper_scr, f_scr)
+    _stage_scale(n, diag_scr, upper_scr, f_scr, s_scr)
+    # factor + forward substitution fused in one serial sweep
+    _stage_factor(n, diag_scr, upper_scr, sinv_scr, None, f_scr, y_scr)
+    _back_substitute(n, upper_scr, sinv_scr, y_scr)
+    _stage_refine(n, refine, diag_scr, upper_scr, sinv_scr, f_scr, y_scr,
+                  r_scr)
+
+    # ---- forces, loss, explicit dL/dI per element -----------------------
+    def u_at(i, a):
+        return y_scr[i, a] * s_scr[i, a]
+
+    def loss_body(j, acc):
+        tb, ts, ti = acc
+        k11 = ks_scr[j, 1]
+        k12 = ks_scr[j, 2]
+        k13 = ks_scr[j, 3]
+        k2 = ks_scr[j, 4]
+        Le = Le_ref[0, j]
+        I_j = I_ref[0, j]
+        uy_i, th_i = u_at(j, 1), u_at(j, 2)
+        uy_j, th_j = u_at(j + 1, 1), u_at(j + 1, 2)
+        V = (k11 * uy_i + k12 * th_i - k11 * uy_j + k12 * th_j
+             - w * Le * 0.5)
+        M = (k12 * uy_i + k13 * th_i - k12 * uy_j + k2 * th_j
+             - w * Le * Le / 12.0)
+        den_b = 2.0 * E * I_j + 1e-6
+        den_s = G * (0.03 * jnp.sqrt(I_j))
+        be = M * M / den_b
+        se = V * V / den_s
+        # explicit dL/dI (M, V held constant) — the semi-gradient
+        g = (1.0 - alpha_m * be * 2.0 * E / den_b
+             - alpha_s * 0.5 * se / I_j)
+        if not grad_semi:
+            # loss cotangents on the force fields, for the adjoint chain
+            gV = alpha_s * 2.0 * V / den_s
+            gM = alpha_m * 2.0 * M / den_b
+            # direct dV/dI, dM/dI at fixed u (V, M linear in I)
+            c1 = E / (Le * Le * Le)
+            dV = c1 * (12.0 * (uy_i - uy_j) + 6.0 * Le * (th_i + th_j))
+            dM = c1 * Le * (6.0 * (uy_i - uy_j)
+                            + Le * (4.0 * th_i + 2.0 * th_j))
+            g = g + gV * dV + gM * dM
+            gv_scr[j] = gV
+            gm_scr[j] = gM
+        g_scr[j] = g
+        return (tb + be, ts + se, ti + I_j)
+
+    zero = jnp.zeros_like(E)
+    tb, ts, ti = jax.lax.fori_loop(
+        0, nelem, loss_body, (zero, zero, zero)
+    )
+    stats_out[0, 0] = ti + alpha_m * tb + alpha_s * ts
+    stats_out[0, 1] = ti
+    stats_out[0, 2] = alpha_m * tb
+    stats_out[0, 3] = alpha_s * ts
+
+    if not grad_semi:
+        # ---- adjoint: K lam = g_hat with the saved factors --------------
+        # scatter (dV/du)^T gV + (dM/du)^T gM onto nodes, project to free
+        # DOFs, pre-scale into the Jacobi space (rhs_s = S rhs)
+        def ghat_body(i, _):
+            has_prev = i > 0
+            has_next = i < nelem
+            jp = jnp.clip(i - 1, 0, nelem - 1)
+            jn = jnp.clip(i, 0, nelem - 1)
+            m_p = jnp.where(has_prev, 1.0, 0.0).astype(dtype)
+            m_n = jnp.where(has_next, 1.0, 0.0).astype(dtype)
+            gV_p, gM_p = gv_scr[jp] * m_p, gm_scr[jp] * m_p
+            gV_n, gM_n = gv_scr[jn] * m_n, gm_scr[jn] * m_n
+            gy = (gV_n * ks_scr[jn, 1] + gM_n * ks_scr[jn, 2]
+                  - gV_p * ks_scr[jp, 1] - gM_p * ks_scr[jp, 2])
+            gt = (gV_n * ks_scr[jn, 2] + gM_n * ks_scr[jn, 3]
+                  + gV_p * ks_scr[jp, 2] + gM_p * ks_scr[jp, 4])
+            f_scr[i, 0] = zero
+            f_scr[i, 1] = gy * free_ref[0, i, 1] * s_scr[i, 1]
+            f_scr[i, 2] = gt * free_ref[0, i, 2] * s_scr[i, 2]
+            return 0
+
+        jax.lax.fori_loop(0, n, ghat_body, 0)
+
+        # gv/gm are consumed; stash the (dK_e/dI_e) u_e row products
+        # instead BEFORE the adjoint refinement clobbers y_scr (= u)
+        def stash_body(j, _):
+            Le = Le_ref[0, j]
+            uy_i, th_i = u_at(j, 1), u_at(j, 2)
+            uy_j, th_j = u_at(j + 1, 1), u_at(j + 1, 2)
+            c1 = E / (Le * Le * Le)
+            gv_scr[j] = c1 * (12.0 * (uy_i - uy_j)
+                              + 6.0 * Le * (th_i + th_j))       # r_uyi
+            gm_scr[j] = c1 * Le * (6.0 * (uy_i - uy_j)
+                                   + Le * (4.0 * th_i + 2.0 * th_j))
+            rthj_scr[j] = c1 * Le * (6.0 * (uy_i - uy_j)
+                                     + Le * (2.0 * th_i + 4.0 * th_j))
+            return 0
+
+        jax.lax.fori_loop(0, nelem, stash_body, 0)
+
+        # lam_s solved in place in r_scr (f_scr keeps the rhs for the
+        # refinement residual; y_scr becomes the work vector)
+        def cp2(i, _):
+            for a in range(3):
+                r_scr[i, a] = f_scr[i, a]
+            return 0
+
+        jax.lax.fori_loop(0, n, cp2, 0)
+        _substitute_inplace(n, upper_scr, sinv_scr, r_scr)
+        _stage_refine(n, refine, diag_scr, upper_scr, sinv_scr, f_scr,
+                      r_scr, y_scr)
+
+        # ---- banded products: gI += -lam^T (dK/dI_e) u ------------------
+        def adj_body(j, _):
+            ly_i = r_scr[j, 1] * s_scr[j, 1]
+            lt_i = r_scr[j, 2] * s_scr[j, 2]
+            ly_j = r_scr[j + 1, 1] * s_scr[j + 1, 1]
+            lt_j = r_scr[j + 1, 2] * s_scr[j + 1, 2]
+            g_scr[j] = g_scr[j] - (
+                (ly_i - ly_j) * gv_scr[j] + lt_i * gm_scr[j]
+                + lt_j * rthj_scr[j]
+            )
+            return 0
+
+        jax.lax.fori_loop(0, nelem, adj_body, 0)
+
+    # ---- Adam update (torch-identical math) ------------------------------
+    lr_t = hyp_ref[0, 0]
+    bc1 = hyp_ref[0, 1]
+    bc2 = hyp_ref[0, 2]
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    def adam_body(j, _):
+        g = g_scr[j]
+        mu = b1 * mu_ref[0, j] + (1.0 - b1) * g
+        nu = b2 * nu_ref[0, j] + (1.0 - b2) * g * g
+        mu_out[0, j] = mu
+        nu_out[0, j] = nu
+        step = lr_t * (mu * bc1) / (jnp.sqrt(nu * bc2) + eps)
+        I_out[0, j] = jnp.maximum(I_ref[0, j] - step, clamp_min)
+        return 0
+
+    jax.lax.fori_loop(0, nelem, adam_body, 0)
+
+
+# ---------------------------------------------------------------------------
+# Host-side launchers
+# ---------------------------------------------------------------------------
 
 def _to_slab(x, tail_dims):
     """(B, d1, ..., dk) -> (T, d1, ..., dk, SUB, LANES)."""
@@ -386,13 +626,221 @@ def _from_slab(x, B):
     return x.reshape((-1,) + x.shape[3:])[:B]
 
 
+def _spec(*block):
+    nd = len(block)
+    return pl.BlockSpec(
+        (1,) + tuple(block),
+        lambda t, nd=nd: (t,) + (0,) * nd,
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _pad_lane_fixup(I_s, Le_s, free_s, B0, T):
+    """Padded lanes: free everything and set I=1, Le=1 -> well-posed."""
+    if T * TILE > B0:
+        lane_ids = jnp.arange(T * TILE).reshape(T, SUB, LANES)
+        padm = (lane_ids >= B0)
+        I_s = jnp.where(padm[:, None], 1.0, I_s)
+        Le_s = jnp.where(padm[:, None], 1.0, Le_s)
+        free_s = jnp.where(padm[:, None, None], 0.0, free_s)
+    return I_s, Le_s, free_s
+
+
+def _run_kernel(I, Le, free_mask, E, A, refine, interpret,
+                point_loads=None, udl=None, rhs=None,
+                recover_forces=True):
+    """Shared pallas_call launcher for the forward analysis and the
+    explicit-RHS (adjoint) solve."""
+    explicit_rhs = rhs is not None
+    B, nelem = I.shape
+    n = nelem + 1
+    dtype = I.dtype
+
+    I_s, B0, T = _to_slab(I, 1)
+    Le_s, _, _ = _to_slab(Le, 1)
+    free_s, _, _ = _to_slab(free_mask.astype(dtype), 2)
+    I_s, Le_s, free_s = _pad_lane_fixup(I_s, Le_s, free_s, B0, T)
+
+    ea = jnp.full((T, 1, SUB, LANES), E * A, dtype)
+    ee = jnp.full((T, 1, SUB, LANES), E, dtype)
+
+    in_specs = [
+        _spec(nelem, SUB, LANES),          # I
+        _spec(nelem, SUB, LANES),          # Le
+        _spec(n, 3, SUB, LANES),           # free
+    ]
+    if explicit_rhs:
+        rhs_s, _, _ = _to_slab(rhs, 2)
+        in_specs += [_spec(n, 3, SUB, LANES)]
+        inputs = (I_s, Le_s, free_s, rhs_s)
+    else:
+        load_s, _, _ = _to_slab(point_loads, 1)
+        udl_s, _, _ = _to_slab(udl[:, None], 1)
+        in_specs += [_spec(n, SUB, LANES), _spec(1, SUB, LANES)]
+        inputs = (I_s, Le_s, free_s, load_s, udl_s)
+    in_specs += [_spec(1, SUB, LANES), _spec(1, SUB, LANES)]   # EA, E
+    inputs = inputs + (ea, ee)
+
+    out_specs = [_spec(n, 3, SUB, LANES)]                       # u
+    out_shape = [jax.ShapeDtypeStruct((T, n, 3, SUB, LANES), dtype)]
+    if recover_forces:
+        out_specs += [_spec(nelem, SUB, LANES), _spec(nelem, SUB, LANES)]
+        out_shape += [
+            jax.ShapeDtypeStruct((T, nelem, SUB, LANES), dtype),
+            jax.ShapeDtypeStruct((T, nelem, SUB, LANES), dtype),
+        ]
+    out_specs += [_spec(1, SUB, LANES)]                         # pivot
+    out_shape += [jax.ShapeDtypeStruct((T, 1, SUB, LANES), dtype)]
+
+    grid_spec = pl.GridSpec(
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((nelem, 5, SUB, LANES), dtype),   # ks
+            pltpu.VMEM((n, 3, 3, SUB, LANES), dtype),    # diag
+            pltpu.VMEM((n, 3, 3, SUB, LANES), dtype),    # upper
+            pltpu.VMEM((n, 3, SUB, LANES), dtype),       # f
+            pltpu.VMEM((n, 3, SUB, LANES), dtype),       # s
+            pltpu.VMEM((n, 3, 3, SUB, LANES), dtype),    # sinv
+            pltpu.VMEM((n, 3, 3, SUB, LANES), dtype),    # c
+            pltpu.VMEM((n, 3, SUB, LANES), dtype),       # y
+        ],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_beam_kernel, refine, explicit_rhs,
+                          recover_forces),
+        out_shape=out_shape,
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(*inputs)
+    if recover_forces:
+        u_s, V_s, M_s, piv_s = outs
+        return (
+            _from_slab(u_s, B0),
+            _from_slab(V_s, B0),
+            _from_slab(M_s, B0),
+            _from_slab(piv_s, B0)[:, 0],
+        )
+    u_s, piv_s = outs
+    return _from_slab(u_s, B0), _from_slab(piv_s, B0)[:, 0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("E", "A", "refine", "interpret")
+)
+def pallas_beam_solve(I, Le, free_mask, rhs, E: float, A: float,
+                      refine: int = 1, interpret: bool = False):
+    """Fused assembly + solve of K(I) x = rhs for an explicit (B, n, 3)
+    right-hand side (constrained DOFs are projected out).  This is the
+    primitive the adjoint pass rides — K is symmetric, so the backward
+    system is the same operator with the output cotangent as RHS.
+
+    Returns (x (B, n, 3), pivot (B,)).
+    """
+    return _run_kernel(I, Le, free_mask, E, A, refine, interpret,
+                       rhs=rhs, recover_forces=False)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _analysis(I, Le, free_mask, point_loads, udl, E, A, refine, interpret):
+    return _run_kernel(I, Le, free_mask, E, A, refine, interpret,
+                       point_loads=point_loads, udl=udl)
+
+
+def _analysis_fwd(I, Le, free_mask, point_loads, udl, E, A, refine,
+                  interpret):
+    out = _analysis(I, Le, free_mask, point_loads, udl, E, A, refine,
+                    interpret)
+    u = out[0]
+    return out, (I, Le, free_mask, udl, u)
+
+
+def _analysis_bwd(E, A, refine, interpret, res, cts):
+    """Analytic reverse pass at fused-kernel speed.
+
+    With K(I) u = f(udl, loads) and the end forces (V, M) linear in the
+    element displacements with I-linear coefficients, the chain is:
+
+      g_hat  = gu + (dV/du)^T gV + (dM/du)^T gM        (banded scatter)
+      lam    = K^{-1} g_hat                            (one fused solve;
+                                                        K is symmetric)
+      gI_e   = -lam_e^T (dK_e/dI_e) u_e  +  gV dV/dI + gM dM/dI
+      gloads = lam[:, :, 1]
+      gudl   = lam . df/dw + direct -wLe/2, -wLe^2/12 recovery terms
+
+    which is the split-path adjoint of fem/solve.py:161-173 specialized to
+    the chain mesh and executed entirely on the fused kernel's bandwidth.
+    """
+    I, Le, free_mask, udl, u = res
+    gu, gV, gM, _gpiv = cts
+    dtype = I.dtype
+
+    k11 = 12.0 * E * I / Le**3
+    k12 = 6.0 * E * I / Le**2
+    k13 = 4.0 * E * I / Le
+    k2 = 2.0 * E * I / Le
+
+    # (dV/du)^T gV + (dM/du)^T gM scattered onto the nodal cotangent
+    g_hat = jnp.asarray(gu, dtype)
+    g_hat = g_hat.at[:, :-1, 1].add(gV * k11 + gM * k12)
+    g_hat = g_hat.at[:, :-1, 2].add(gV * k12 + gM * k13)
+    g_hat = g_hat.at[:, 1:, 1].add(-gV * k11 - gM * k12)
+    g_hat = g_hat.at[:, 1:, 2].add(gV * k12 + gM * k2)
+    g_hat = g_hat * free_mask.astype(dtype)
+
+    lam, _ = pallas_beam_solve(I, Le, free_mask, g_hat, E, A,
+                               refine=refine, interpret=interpret)
+
+    uy_i, th_i = u[:, :-1, 1], u[:, :-1, 2]
+    uy_j, th_j = u[:, 1:, 1], u[:, 1:, 2]
+    ly_i, lt_i = lam[:, :-1, 1], lam[:, :-1, 2]
+    ly_j, lt_j = lam[:, 1:, 1], lam[:, 1:, 2]
+
+    # (dK_e/dI_e) u_e rows (bending block per unit I): E/Le^3 *
+    # [[12, 6L, -12, 6L], [6L, 4L^2, -6L, 2L^2],
+    #  [-12, -6L, 12, -6L], [6L, 2L^2, -6L, 4L^2]]
+    c1 = E / Le**3
+    r_uyi = c1 * (12.0 * (uy_i - uy_j) + 6.0 * Le * (th_i + th_j))
+    r_thi = c1 * Le * (6.0 * (uy_i - uy_j)
+                       + Le * (4.0 * th_i + 2.0 * th_j))
+    r_thj = c1 * Le * (6.0 * (uy_i - uy_j)
+                       + Le * (2.0 * th_i + 4.0 * th_j))
+    gI_K = -(ly_i * r_uyi - ly_j * r_uyi + lt_i * r_thi + lt_j * r_thj)
+
+    # direct dV/dI, dM/dI of the force recovery (V, M linear in I at
+    # fixed u; the -w terms are I-independent)
+    gI = gI_K + gV * r_uyi + gM * r_thi
+
+    # RHS cotangents: f[i,1] += loads[i] (lam is already zero at
+    # constrained DOFs, so no extra masking needed)
+    gloads = lam[..., 1]
+
+    # udl: consistent-load terms on the RHS + the -w Le/2, -w Le^2/12
+    # constants inside the force recovery
+    zcol = jnp.zeros(Le.shape[:-1] + (1,), dtype)
+    Le_p = jnp.concatenate([zcol, Le], axis=-1)          # Le_{i-1}
+    Le_n = jnp.concatenate([Le, zcol], axis=-1)          # Le_i
+    gudl = (
+        jnp.sum(lam[..., 1] * (Le_p + Le_n) * 0.5, axis=-1)
+        + jnp.sum(lam[..., 2] * (Le_n**2 - Le_p**2) / 12.0, axis=-1)
+        - jnp.sum(gV * Le * 0.5 + gM * Le**2 / 12.0, axis=-1)
+    )
+
+    # Le and the constraint mask are structural inputs, never optimized.
+    return gI, jnp.zeros_like(Le), jnp.zeros_like(free_mask), gloads, gudl
+
+
+_analysis.defvjp(_analysis_fwd, _analysis_bwd)
+
+
 @functools.partial(
     jax.jit, static_argnames=("E", "A", "refine", "interpret")
 )
 def pallas_beam_analysis(I, Le, free_mask, point_loads, udl,
                          E: float, A: float, refine: int = 1,
                          interpret: bool = False):
-    """Fused batched beam FEA.
+    """Fused batched beam FEA, differentiable in I, loads and udl.
 
     Args:
       I: (B, nelem) moments of inertia.
@@ -408,51 +856,80 @@ def pallas_beam_analysis(I, Le, free_mask, point_loads, udl,
     factorization — the singularity diagnostic of
     ``fem.solve.block_tridiag_min_pivot``, captured for free during the
     forward sweep (so datagen needs no separate factorization pass).
+
+    Reverse-mode differentiation runs the analytic implicit adjoint (one
+    more fused solve + banded products; see ``_analysis_bwd``), so adjoint
+    -mode optimization runs at fused-kernel speed — the exact d(u,V,M)/dI
+    the reference never computes (OpenPyStruct_BeamOpt.py:150-151).
+    """
+    return _analysis(I, Le, free_mask, point_loads, udl, E, A, refine,
+                     interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("E", "A", "G", "alpha_m", "alpha_s", "clamp_min",
+                     "grad_semi", "refine", "interpret"),
+)
+def pallas_beam_opt_step(I, mu, nu, Le, free_mask, point_loads, udl,
+                         lr_t, bc1, bc2,
+                         E: float, A: float, G: float,
+                         alpha_m: float = 1e-2, alpha_s: float = 1e-2,
+                         clamp_min: float = 1e-8, grad_semi: bool = True,
+                         refine: int = 1, interpret: bool = False):
+    """One fused optimizer iteration for the whole batch.
+
+    Solve + combined loss + its gradient (semi or exact adjoint) + Adam
+    update + clamp, entirely in VMEM; HBM sees only the (B, nelem) state
+    arrays and (B, 4) loss stats per iteration — no displacement or force
+    fields.  ``lr_t``/``bc1``/``bc2`` are the per-epoch learning rate and
+    Adam bias corrections 1/(1-b1^t), 1/(1-b2^t) (scalars).
+
+    Returns (I_new, mu_new, nu_new, stats (B, 4): total, primary,
+    bending_energy, shear_energy).
     """
     B, nelem = I.shape
     n = nelem + 1
     dtype = I.dtype
 
     I_s, B0, T = _to_slab(I, 1)
+    mu_s, _, _ = _to_slab(mu, 1)
+    nu_s, _, _ = _to_slab(nu, 1)
     Le_s, _, _ = _to_slab(Le, 1)
     free_s, _, _ = _to_slab(free_mask.astype(dtype), 2)
     load_s, _, _ = _to_slab(point_loads, 1)
     udl_s, _, _ = _to_slab(udl[:, None], 1)
-    if T * TILE > B0:
-        # padded lanes: free everything and set I=1, Le=1 -> well-posed
-        lane_ids = jnp.arange(T * TILE).reshape(T, SUB, LANES)
-        padm = (lane_ids >= B0)
-        I_s = jnp.where(padm[:, None], 1.0, I_s)
-        Le_s = jnp.where(padm[:, None], 1.0, Le_s)
-        free_s = jnp.where(padm[:, None, None], 0.0, free_s)
+    I_s, Le_s, free_s = _pad_lane_fixup(I_s, Le_s, free_s, B0, T)
 
     ea = jnp.full((T, 1, SUB, LANES), E * A, dtype)
     ee = jnp.full((T, 1, SUB, LANES), E, dtype)
-
-    def spec(*block):
-        nd = len(block)
-        return pl.BlockSpec(
-            (1,) + tuple(block),
-            lambda t, nd=nd: (t,) + (0,) * nd,
-            memory_space=pltpu.VMEM,
-        )
+    hyp = jnp.broadcast_to(
+        jnp.stack([
+            jnp.asarray(lr_t, dtype), jnp.asarray(bc1, dtype),
+            jnp.asarray(bc2, dtype),
+        ]).reshape(1, 3, 1, 1),
+        (T, 3, SUB, LANES),
+    )
 
     grid_spec = pl.GridSpec(
         grid=(T,),
         in_specs=[
-            spec(nelem, SUB, LANES),      # I
-            spec(nelem, SUB, LANES),      # Le
-            spec(n, 3, SUB, LANES),       # free
-            spec(n, SUB, LANES),          # loads
-            spec(1, SUB, LANES),          # udl
-            spec(1, SUB, LANES),          # EA
-            spec(1, SUB, LANES),          # E
+            _spec(nelem, SUB, LANES),    # I
+            _spec(nelem, SUB, LANES),    # Le
+            _spec(n, 3, SUB, LANES),     # free
+            _spec(n, SUB, LANES),        # loads
+            _spec(1, SUB, LANES),        # udl
+            _spec(1, SUB, LANES),        # EA
+            _spec(1, SUB, LANES),        # E
+            _spec(nelem, SUB, LANES),    # mu
+            _spec(nelem, SUB, LANES),    # nu
+            _spec(3, SUB, LANES),        # hyp
         ],
         out_specs=[
-            spec(n, 3, SUB, LANES),       # u
-            spec(nelem, SUB, LANES),      # V
-            spec(nelem, SUB, LANES),      # M
-            spec(1, SUB, LANES),          # pivot
+            _spec(nelem, SUB, LANES),    # I_new
+            _spec(nelem, SUB, LANES),    # mu_new
+            _spec(nelem, SUB, LANES),    # nu_new
+            _spec(4, SUB, LANES),        # stats
         ],
         scratch_shapes=[
             pltpu.VMEM((nelem, 5, SUB, LANES), dtype),   # ks
@@ -460,25 +937,31 @@ def pallas_beam_analysis(I, Le, free_mask, point_loads, udl,
             pltpu.VMEM((n, 3, 3, SUB, LANES), dtype),    # upper
             pltpu.VMEM((n, 3, SUB, LANES), dtype),       # f
             pltpu.VMEM((n, 3, SUB, LANES), dtype),       # s
-            pltpu.VMEM((n, 3, 3, SUB, LANES), dtype),    # c
-            pltpu.VMEM((n, 3, SUB, LANES), dtype),       # y
-            pltpu.VMEM((n, 3, SUB, LANES), dtype),       # r
-        ],
+            pltpu.VMEM((n, 3, 3, SUB, LANES), dtype),    # sinv
+            pltpu.VMEM((n, 3, SUB, LANES), dtype),       # y (u, scaled)
+            pltpu.VMEM((n, 3, SUB, LANES), dtype),       # r (work / lam)
+            pltpu.VMEM((nelem, SUB, LANES), dtype),      # g
+        ] + ([] if grad_semi else [
+            pltpu.VMEM((nelem, SUB, LANES), dtype),      # gV / r_uyi
+            pltpu.VMEM((nelem, SUB, LANES), dtype),      # gM / r_thi
+            pltpu.VMEM((nelem, SUB, LANES), dtype),      # r_thj
+        ]),
     )
-    u_s, V_s, M_s, piv_s = pl.pallas_call(
-        functools.partial(_beam_kernel, refine),
+    I_o, mu_o, nu_o, stats_s = pl.pallas_call(
+        functools.partial(_beam_opt_kernel, refine, grad_semi, G,
+                          alpha_m, alpha_s, clamp_min),
         out_shape=[
-            jax.ShapeDtypeStruct((T, n, 3, SUB, LANES), dtype),
             jax.ShapeDtypeStruct((T, nelem, SUB, LANES), dtype),
             jax.ShapeDtypeStruct((T, nelem, SUB, LANES), dtype),
-            jax.ShapeDtypeStruct((T, 1, SUB, LANES), dtype),
+            jax.ShapeDtypeStruct((T, nelem, SUB, LANES), dtype),
+            jax.ShapeDtypeStruct((T, 4, SUB, LANES), dtype),
         ],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(I_s, Le_s, free_s, load_s, udl_s, ea, ee)
+    )(I_s, Le_s, free_s, load_s, udl_s, ea, ee, mu_s, nu_s, hyp)
     return (
-        _from_slab(u_s, B0),
-        _from_slab(V_s, B0),
-        _from_slab(M_s, B0),
-        _from_slab(piv_s, B0)[:, 0],
+        _from_slab(I_o, B0),
+        _from_slab(mu_o, B0),
+        _from_slab(nu_o, B0),
+        _from_slab(stats_s, B0),
     )

@@ -195,17 +195,25 @@ def optimize_beam_batched(
     the trajectory therefore matches ``optimize_beam`` whose own parity with
     the reference's torch loop is tested step-for-step.
 
-    ``fused`` selects the fully-fused Pallas kernel (assembly + solve +
-    force recovery in VMEM; ops/beam_kernel.py).  Default: on whenever the
-    Pallas path is on and the gradient mode is the reference's semi-gradient
-    (the fused kernel is primal-only; adjoint mode uses the split path).
+    ``fused`` selects the fully-fused Pallas opt-step kernel (assembly +
+    solve + loss + gradient + Adam update per launch, everything in VMEM;
+    ops/beam_kernel.py).  Default: on whenever the Pallas path is on.  Both
+    gradient modes ride it: semi-gradient computes the explicit dL/dI in
+    kernel, adjoint mode adds the implicit chain with one extra
+    substitution pair against the saved factorization.  The while_loop
+    carry holds only the (B, nelem) optimizer state — no displacement or
+    force fields — and the reported solution comes from one final fused
+    analysis at the last-solved I (bitwise the same solve the loop saw).
     """
     from openpystruct_tpu.fem.beam import (
         constraint_mask,
         solve_beam_batched,
     )
     from openpystruct_tpu.fem.beam import BeamSolution
-    from openpystruct_tpu.ops.beam_kernel import pallas_beam_analysis
+    from openpystruct_tpu.ops.beam_kernel import (
+        pallas_beam_analysis,
+        pallas_beam_opt_step,
+    )
 
     B = scenario.node_x.shape[0]
     nelem = scenario.node_x.shape[-1] - 1
@@ -213,7 +221,7 @@ def optimize_beam_batched(
         I0 = jnp.full((B, nelem), beam.I0, dtype=jnp.float32)
     dtype = I0.dtype
     if fused is None:
-        fused = use_pallas and opt.grad_mode == "semi"
+        fused = use_pallas
 
     E, G, A = beam.E, beam.G, beam.A
     b1, b2, eps = 0.9, 0.999, 1e-8
@@ -222,20 +230,36 @@ def optimize_beam_batched(
         Le = jnp.diff(scenario.node_x, axis=-1).astype(dtype)
         free = (~jax.vmap(constraint_mask)(scenario)).astype(dtype)
 
-    def eval_loss(I):
-        # Semi-gradient mode treats the whole FE solve as a constant per
-        # iteration (the reference's fresh-leaf-tensor semantics,
-        # OpenPyStruct_BeamOpt.py:150-151) — stopping I at the solve input
-        # lets XLA skip the entire assembly/solve backward pass.
-        I_solve = jax.lax.stop_gradient(I) if opt.grad_mode == "semi" else I
-        if fused:
-            u, V, M, piv = pallas_beam_analysis(
-                I_solve, Le, free, scenario.point_loads, scenario.udl,
-                float(E), float(A), refine=refine, interpret=interpret,
+        def kernel_step(I, mu, nu, epoch):
+            t = (epoch + 1).astype(dtype)
+            lr_t = opt.lr * opt.lr_gamma ** epoch.astype(dtype)
+            bc1 = 1.0 / (1.0 - b1**t)
+            bc2 = 1.0 / (1.0 - b2**t)
+            I_new, mu_new, nu_new, stats = pallas_beam_opt_step(
+                I, mu, nu, Le, free, scenario.point_loads, scenario.udl,
+                lr_t, bc1, bc2, float(E), float(A), float(G),
+                alpha_m=float(opt.alpha_moment),
+                alpha_s=float(opt.alpha_shear),
+                clamp_min=float(opt.clamp_min),
+                grad_semi=(opt.grad_mode == "semi"),
+                refine=refine, interpret=interpret,
             )
-            sol = BeamSolution(
-                displacements=u, deflections=u[..., 1],
-                rotations=u[..., 2], shear_forces=V, bending_moments=M,
+            comps = LossComponents(
+                total=stats[:, 0], primary=stats[:, 1],
+                bending_energy=stats[:, 2], shear_energy=stats[:, 3],
+            )
+            return I_new, mu_new, nu_new, comps
+    else:
+        def eval_loss(I):
+            # Semi-gradient mode treats the whole FE solve as a constant
+            # per iteration (the reference's fresh-leaf-tensor semantics,
+            # OpenPyStruct_BeamOpt.py:150-151) — stopping I at the solve
+            # input lets XLA skip the assembly/solve backward pass.
+            I_solve = (jax.lax.stop_gradient(I)
+                       if opt.grad_mode == "semi" else I)
+            sol = solve_beam_batched(
+                I_solve, scenario, E, A, refine=refine,
+                use_pallas=use_pallas, interpret=interpret,
             )
             comps = jax.vmap(
                 lambda I, M, V: structural_loss(
@@ -243,24 +267,26 @@ def optimize_beam_batched(
                     grad_mode=opt.grad_mode,
                 )
             )(I, sol.bending_moments, sol.shear_forces)
-            return jnp.sum(comps.total), (sol, comps, piv)
-        else:
-            sol = solve_beam_batched(
-                I_solve, scenario, E, A, refine=refine,
-                use_pallas=use_pallas, interpret=interpret,
-            )
-        comps = jax.vmap(
-            lambda I, M, V: structural_loss(
-                I, M, V, E, G, opt.alpha_moment, opt.alpha_shear,
-                grad_mode=opt.grad_mode,
-            )
-        )(I, sol.bending_moments, sol.shear_forces)
-        # independent samples: summing gives each lane its own gradient
-        return jnp.sum(comps.total), (sol, comps, None)
+            # independent samples: summing gives each lane its own grad
+            return jnp.sum(comps.total), comps
 
-    grad_fn = jax.value_and_grad(eval_loss, has_aux=True)
-    sol0, comps0, piv0 = eval_loss(I0)[1]
-    loss_dtype = comps0.total.dtype
+        grad_fn = jax.value_and_grad(eval_loss, has_aux=True)
+
+        def kernel_step(I, mu, nu, epoch):
+            (_, comps), g = grad_fn(I)
+            t = (epoch + 1).astype(dtype)
+            lr_t = opt.lr * opt.lr_gamma ** epoch.astype(dtype)
+            mu = b1 * mu + (1 - b1) * g
+            nu = b2 * nu + (1 - b2) * g * g
+            mu_hat = mu / (1 - b1**t)
+            nu_hat = nu / (1 - b2**t)
+            I_new = jnp.maximum(
+                I - lr_t * mu_hat / (jnp.sqrt(nu_hat) + eps),
+                opt.clamp_min,
+            )
+            return I_new, mu, nu, comps
+
+    loss_dtype = dtype
 
     carry0 = dict(
         I=I0,
@@ -272,27 +298,23 @@ def optimize_beam_batched(
         best=jnp.full((B,), jnp.inf, loss_dtype),
         no_improve=jnp.zeros((B,), jnp.int32),
         done=jnp.zeros((B,), bool),
-        sol=sol0,
-        comps=comps0,
-        pivot=piv0,
+        comps=LossComponents(
+            total=jnp.zeros((B,), loss_dtype),
+            primary=jnp.zeros((B,), loss_dtype),
+            bending_energy=jnp.zeros((B,), loss_dtype),
+            shear_energy=jnp.zeros((B,), loss_dtype),
+        ),
     )
 
     def cond(c):
         return jnp.any(~c["done"]) & (c["epoch"] < opt.max_epochs)
 
     def body(c):
-        (_, (sol, comps, piv)), g = grad_fn(c["I"])
+        I_new, mu, nu, comps = kernel_step(
+            c["I"], c["mu"], c["nu"], c["epoch"]
+        )
         active = ~c["done"]
         am = active[:, None]
-
-        t = (c["epoch"] + 1).astype(dtype)
-        lr_t = opt.lr * opt.lr_gamma ** c["epoch"].astype(dtype)
-        mu = jnp.where(am, b1 * c["mu"] + (1 - b1) * g, c["mu"])
-        nu = jnp.where(am, b2 * c["nu"] + (1 - b2) * g * g, c["nu"])
-        mu_hat = mu / (1 - b1**t)
-        nu_hat = nu / (1 - b2**t)
-        I_step = c["I"] - lr_t * mu_hat / (jnp.sqrt(nu_hat) + eps)
-        I_new = jnp.where(am, jnp.maximum(I_step, opt.clamp_min), c["I"])
 
         total = comps.total
         improved = total < c["best"] - opt.tolerance
@@ -303,34 +325,51 @@ def optimize_beam_batched(
         )
         done = c["done"] | (no_improve >= opt.patience)
 
-        def freeze(new, old):
-            mask = active.reshape((B,) + (1,) * (new.ndim - 1))
-            return jnp.where(mask, new, old)
+        def freeze1(new, old):
+            return jnp.where(active, new, old)
 
         return dict(
-            I=I_new,
+            I=jnp.where(am, I_new, c["I"]),
             I_solved=jnp.where(am, c["I"], c["I_solved"]),
-            mu=mu,
-            nu=nu,
+            mu=jnp.where(am, mu, c["mu"]),
+            nu=jnp.where(am, nu, c["nu"]),
             epoch=c["epoch"] + 1,
             n_epochs=c["n_epochs"] + active.astype(jnp.int32),
             best=best,
             no_improve=no_improve,
             done=done,
-            sol=jax.tree.map(freeze, sol, c["sol"]),
-            comps=jax.tree.map(freeze, comps, c["comps"]),
-            pivot=(jnp.where(active, piv, c["pivot"])
-                   if piv is not None else None),
+            comps=jax.tree.map(freeze1, comps, c["comps"]),
         )
 
     c = jax.lax.while_loop(cond, body, carry0)
+
+    # One final analysis at the last-solved I reproduces exactly the
+    # solution the loop's last evaluation saw (same kernel, same inputs)
+    # without carrying (B, n, 3) fields through every iteration.
+    I_solved = jax.lax.stop_gradient(c["I_solved"])
+    if fused:
+        u, V, M, piv = pallas_beam_analysis(
+            I_solved, Le, free, scenario.point_loads, scenario.udl,
+            float(E), float(A), refine=refine, interpret=interpret,
+        )
+        sol = BeamSolution(
+            displacements=u, deflections=u[..., 1], rotations=u[..., 2],
+            shear_forces=V, bending_moments=M,
+        )
+    else:
+        sol = solve_beam_batched(
+            I_solved, scenario, E, A, refine=refine,
+            use_pallas=use_pallas, interpret=interpret,
+        )
+        piv = None
+
     return BeamOptResult(
         I=c["I"],
         I_solved=c["I_solved"],
-        solution=c["sol"],
+        solution=sol,
         loss=c["comps"],
         n_epochs=c["n_epochs"],
         converged=c["done"],
         loss_history=None,
-        pivot=c["pivot"],
+        pivot=piv,
     )
