@@ -61,6 +61,7 @@ def _make_batch_fn(
     use_pallas: bool,
     mesh: Optional[jax.sharding.Mesh] = None,
     data_axis: str = "data",
+    compact: bool = False,
 ):
     """Build (and cache) the jitted batch program.
 
@@ -69,7 +70,10 @@ def _make_batch_fn(
     wrapper and recompile the ~10s while_loop program from scratch (jit's
     own cache lives on the wrapper object).
     """
-    from openpystruct_tpu.opt.beam_opt import optimize_beam_batched
+    from openpystruct_tpu.opt.beam_opt import (
+        optimize_beam_batched,
+        optimize_beam_compact,
+    )
 
     def batch_fn(keys):
         scenario = jax.vmap(lambda k: sample_scenario(k, scen_cfg))(keys)
@@ -78,7 +82,8 @@ def _make_batch_fn(
             if jnp.issubdtype(x.dtype, jnp.floating) else x,
             scenario,
         )
-        res = optimize_beam_batched(
+        optimize = optimize_beam_compact if compact else optimize_beam_batched
+        res = optimize(
             scenario, beam_cfg, opt_cfg, refine=refine,
             use_pallas=use_pallas,
         )
@@ -123,21 +128,33 @@ def generate_batch(
     mesh: Optional[jax.sharding.Mesh] = None,
     data_axis: str = "data",
     use_pallas: Optional[bool] = None,
+    compact: Optional[bool] = None,
 ) -> DatagenBatch:
     """Generate and optimize ``batch_size`` random scenarios in one program.
 
     With ``mesh`` given, the key batch (and hence all work) is sharded over
     ``data_axis`` — the TPU-native replacement for the reference's 22-process
     loky pool, with XLA inserting the (tiny) collectives over ICI.
+
+    ``compact`` (default: on for batches of >=2048 per device) routes the
+    optimization through :func:`opt.beam_opt.optimize_beam_compact`: the
+    while_loop runs as a static cascade of halving working sets so converged
+    lanes stop consuming kernel work instead of running (frozen) to the
+    batch's slowest epoch.  Identical per-lane trajectories; one XLA
+    program, so it composes with ``mesh`` sharding (per-shard compaction).
     """
     if beam_cfg is None:
         beam_cfg = BeamConfig(udl=scen_cfg.udl)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if compact is None:
+        per_dev = batch_size // (mesh.size if mesh is not None else 1)
+        compact = per_dev >= 2048
     keys = jax.random.split(key, batch_size)
+
     fn = _make_batch_fn(
         scen_cfg, beam_cfg, opt_cfg, refine, pivot_tol, use_pallas,
-        mesh, data_axis,
+        mesh, data_axis, compact,
     )
     if mesh is not None:
         sharding = jax.sharding.NamedSharding(
@@ -159,6 +176,7 @@ def generate_dataset(
     mesh: Optional[jax.sharding.Mesh] = None,
     progress: bool = False,
     use_pallas: Optional[bool] = None,
+    compact: Optional[bool] = None,
 ) -> dict:
     """Generate ``num_samples`` scenarios in fixed-size batches and return a
     columnar host-side dict in the reference's 13-key dataset schema
@@ -174,7 +192,7 @@ def generate_dataset(
         key, sub = jax.random.split(key)
         batch = generate_batch(
             sub, b, scen_cfg, beam_cfg, opt_cfg, refine, pivot_tol, mesh,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, compact=compact,
         )
         chunks.append(batch_to_columnar(batch))
         done += b
@@ -217,6 +235,7 @@ def generate_dataset_json(
     mesh: Optional[jax.sharding.Mesh] = None,
     progress: bool = False,
     use_pallas: Optional[bool] = None,
+    compact: Optional[bool] = None,
 ) -> int:
     """Generate ``num_samples`` and stream the reference-schema JSON to
     ``path`` batch by batch through the native C++ writer (pure-Python
@@ -235,7 +254,7 @@ def generate_dataset_json(
         key, sub = jax.random.split(key)
         batch = generate_batch(
             sub, b, scen_cfg, beam_cfg, opt_cfg, refine, pivot_tol,
-            mesh, use_pallas=use_pallas,
+            mesh, use_pallas=use_pallas, compact=compact,
         )
         writer.append(_json_fields(batch))
         done += b
@@ -257,6 +276,7 @@ def generate_to_shards(
     mesh: Optional[jax.sharding.Mesh] = None,
     progress: bool = False,
     use_pallas: Optional[bool] = None,
+    compact: Optional[bool] = None,
 ):
     """Crash-safe incremental generation: one ``.npz`` shard per batch,
     deterministic per-shard rng (fold_in on the shard index), and resume by
@@ -283,7 +303,7 @@ def generate_to_shards(
             continue
         batch = generate_batch(
             jax.random.fold_in(key, i), b, scen_cfg, beam_cfg, opt_cfg,
-            refine, pivot_tol, mesh, use_pallas=use_pallas,
+            refine, pivot_tol, mesh, use_pallas=use_pallas, compact=compact,
         )
         # np.savez appends .npz to extension-less names — keep it explicit
         tmp = p[: -len(".npz")] + ".tmp.npz"

@@ -1,7 +1,12 @@
 """Differentiable structural optimizers (the reference's L1 layer)."""
 
 from openpystruct_tpu.opt.loss import structural_loss, LossComponents
-from openpystruct_tpu.opt.beam_opt import BeamOptResult, optimize_beam
+from openpystruct_tpu.opt.beam_opt import (
+    BeamOptResult,
+    optimize_beam,
+    optimize_beam_batched,
+    optimize_beam_compact,
+)
 from openpystruct_tpu.opt.frame_opt import (
     FrameOptResult,
     frame_loss,
@@ -13,6 +18,8 @@ __all__ = [
     "LossComponents",
     "BeamOptResult",
     "optimize_beam",
+    "optimize_beam_batched",
+    "optimize_beam_compact",
     "FrameOptResult",
     "frame_loss",
     "optimize_frame",

@@ -27,10 +27,12 @@ Faithful reproduction notes:
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -205,16 +207,6 @@ def optimize_beam_batched(
     force fields — and the reported solution comes from one final fused
     analysis at the last-solved I (bitwise the same solve the loop saw).
     """
-    from openpystruct_tpu.fem.beam import (
-        constraint_mask,
-        solve_beam_batched,
-    )
-    from openpystruct_tpu.fem.beam import BeamSolution
-    from openpystruct_tpu.ops.beam_kernel import (
-        pallas_beam_analysis,
-        pallas_beam_opt_step,
-    )
-
     B = scenario.node_x.shape[0]
     nelem = scenario.node_x.shape[-1] - 1
     if I0 is None:
@@ -222,6 +214,49 @@ def optimize_beam_batched(
     dtype = I0.dtype
     if fused is None:
         fused = use_pallas
+
+    kernel_step = _make_kernel_step(
+        scenario, beam, opt, refine, use_pallas, fused, interpret, dtype
+    )
+
+    carry0 = dict(
+        _lane_state_init(I0),
+        epoch=jnp.asarray(0, jnp.int32),
+    )
+
+    def cond(c):
+        return jnp.any(~c["done"]) & (c["epoch"] < opt.max_epochs)
+
+    body = _make_freeze_body(kernel_step, opt)
+    c = jax.lax.while_loop(cond, body, carry0)
+
+    sol, piv = _final_solution(
+        scenario, c["I_solved"], beam, refine, use_pallas, fused, interpret
+    )
+
+    return BeamOptResult(
+        I=c["I"],
+        I_solved=c["I_solved"],
+        solution=sol,
+        loss=c["comps"],
+        n_epochs=c["n_epochs"],
+        converged=c["done"],
+        loss_history=None,
+        pivot=piv,
+    )
+
+
+def _make_kernel_step(scenario, beam, opt, refine, use_pallas, fused,
+                      interpret, dtype):
+    """One optimizer iteration for the whole batch:
+    ``step(I, mu, nu, epoch) -> (I_new, mu, nu, comps)``.
+
+    Shared by :func:`optimize_beam_batched` (single while_loop) and the
+    segmented/compacting driver (:func:`optimize_beam_compact`); safe to call
+    with traced ``scenario`` leaves.
+    """
+    from openpystruct_tpu.fem.beam import constraint_mask, solve_beam_batched
+    from openpystruct_tpu.ops.beam_kernel import pallas_beam_opt_step
 
     E, G, A = beam.E, beam.G, beam.A
     b1, b2, eps = 0.9, 0.999, 1e-8
@@ -249,6 +284,9 @@ def optimize_beam_batched(
                 bending_energy=stats[:, 2], shear_energy=stats[:, 3],
             )
             return I_new, mu_new, nu_new, comps
+
+        return kernel_step
+
     else:
         def eval_loss(I):
             # Semi-gradient mode treats the whole FE solve as a constant
@@ -286,28 +324,34 @@ def optimize_beam_batched(
             )
             return I_new, mu, nu, comps
 
-    loss_dtype = dtype
+        return kernel_step
 
-    carry0 = dict(
+
+def _lane_state_init(I0):
+    """Per-lane optimizer/early-stopping state (no scalar epoch)."""
+    B = I0.shape[0]
+    dtype = I0.dtype
+    return dict(
         I=I0,
         I_solved=I0,
         mu=jnp.zeros_like(I0),
         nu=jnp.zeros_like(I0),
-        epoch=jnp.asarray(0, jnp.int32),
         n_epochs=jnp.zeros((B,), jnp.int32),
-        best=jnp.full((B,), jnp.inf, loss_dtype),
+        best=jnp.full((B,), jnp.inf, dtype),
         no_improve=jnp.zeros((B,), jnp.int32),
         done=jnp.zeros((B,), bool),
         comps=LossComponents(
-            total=jnp.zeros((B,), loss_dtype),
-            primary=jnp.zeros((B,), loss_dtype),
-            bending_energy=jnp.zeros((B,), loss_dtype),
-            shear_energy=jnp.zeros((B,), loss_dtype),
+            total=jnp.zeros((B,), dtype),
+            primary=jnp.zeros((B,), dtype),
+            bending_energy=jnp.zeros((B,), dtype),
+            shear_energy=jnp.zeros((B,), dtype),
         ),
     )
 
-    def cond(c):
-        return jnp.any(~c["done"]) & (c["epoch"] < opt.max_epochs)
+
+def _make_freeze_body(kernel_step, opt):
+    """while_loop body: one step + per-lane freeze/early-stop bookkeeping.
+    The carry is ``_lane_state_init(...) + {'epoch': scalar}``."""
 
     def body(c):
         I_new, mu, nu, comps = kernel_step(
@@ -341,16 +385,30 @@ def optimize_beam_batched(
             comps=jax.tree.map(freeze1, comps, c["comps"]),
         )
 
-    c = jax.lax.while_loop(cond, body, carry0)
+    return body
 
-    # One final analysis at the last-solved I reproduces exactly the
-    # solution the loop's last evaluation saw (same kernel, same inputs)
-    # without carrying (B, n, 3) fields through every iteration.
-    I_solved = jax.lax.stop_gradient(c["I_solved"])
+
+def _final_solution(scenario, I_solved, beam, refine, use_pallas, fused,
+                    interpret):
+    """One analysis at the last-solved I — reproduces exactly the solution
+    the loop's last evaluation saw (same kernel, same inputs) without
+    carrying (B, n, 3) fields through every iteration.  Returns
+    ``(BeamSolution, pivot-or-None)``."""
+    from openpystruct_tpu.fem.beam import (
+        BeamSolution,
+        constraint_mask,
+        solve_beam_batched,
+    )
+    from openpystruct_tpu.ops.beam_kernel import pallas_beam_analysis
+
+    I_solved = jax.lax.stop_gradient(I_solved)
     if fused:
+        dtype = I_solved.dtype
+        Le = jnp.diff(scenario.node_x, axis=-1).astype(dtype)
+        free = (~jax.vmap(constraint_mask)(scenario)).astype(dtype)
         u, V, M, piv = pallas_beam_analysis(
             I_solved, Le, free, scenario.point_loads, scenario.udl,
-            float(E), float(A), refine=refine, interpret=interpret,
+            float(beam.E), float(beam.A), refine=refine, interpret=interpret,
         )
         sol = BeamSolution(
             displacements=u, deflections=u[..., 1], rotations=u[..., 2],
@@ -358,18 +416,122 @@ def optimize_beam_batched(
         )
     else:
         sol = solve_beam_batched(
-            I_solved, scenario, E, A, refine=refine,
+            I_solved, scenario, beam.E, beam.A, refine=refine,
             use_pallas=use_pallas, interpret=interpret,
         )
         piv = None
+    return sol, piv
 
+
+# ---------------------------------------------------------------------------
+# Batched driver with converged-lane compaction
+# ---------------------------------------------------------------------------
+
+
+def _bucket_size(n_active: int, min_bucket: int, cap: int) -> int:
+    """Smallest power-of-two working-set size covering the active lanes,
+    floored at ``min_bucket`` (kernel tile efficiency) and capped at the
+    full batch."""
+    size = max(n_active, min_bucket, 1)
+    return min(cap, 1 << (size - 1).bit_length())
+
+
+def _compact_sizes(B: int, min_bucket: int) -> list:
+    """Static halving schedule of working-set sizes, e.g. 8192 ->
+    [8192, 4096, 2048, 1024, 512] at the default 512 floor."""
+    sizes = [B]
+    min_b = min(min_bucket, B)
+    while True:
+        nxt = _bucket_size(max(sizes[-1] // 2, 1), min_b, B)
+        if nxt >= sizes[-1]:
+            return sizes
+        sizes.append(nxt)
+
+
+def optimize_beam_compact(
+    scenario: BeamScenario,
+    beam: BeamConfig = BeamConfig(),
+    opt: OptimizerConfig = OptimizerConfig(),
+    I0: Optional[jax.Array] = None,
+    refine: int = 0,
+    use_pallas: bool = True,
+    interpret: bool = False,
+    fused: Optional[bool] = None,
+    min_bucket: int = 512,
+) -> BeamOptResult:
+    """``optimize_beam_batched`` with early-exit lane compaction.
+
+    The plain batched driver keeps solving converged lanes until the slowest
+    lane in the batch finishes (they freeze, but the kernel still runs them).
+    Here the loop runs as a *static* cascade of halving working-set sizes
+    (B, B/2, ..., ``min_bucket`` — the Pallas kernel's 512-lane tile): each
+    stage's while_loop exits early once the active-lane count fits the next
+    bucket, the active lanes are gathered into it (stable ``argsort(done)``
+    — shapes are static, only the switchover epoch is dynamic), and the
+    results are scattered back at the stage boundary.
+
+    Because the schedule is static, the whole cascade traces into ONE XLA
+    program: jittable, zero mid-run host syncs (a host-orchestrated variant
+    measured slower than the waste it removed — device->host round trips
+    through a remote-device tunnel), and usable under ``shard_map`` (each
+    device compacts its local shard).
+
+    Per-lane trajectories are identical to ``optimize_beam_batched`` — lanes
+    are independent and the global epoch counter (which drives the lr
+    schedule) threads through the stages — only the wasted epochs on frozen
+    lanes are skipped.
+    """
+    B = scenario.node_x.shape[0]
+    nelem = scenario.node_x.shape[-1] - 1
+    if I0 is None:
+        I0 = jnp.full((B, nelem), beam.I0, dtype=jnp.float32)
+    if fused is None:
+        fused = use_pallas
+    sizes = _compact_sizes(B, min_bucket)
+
+    def run_stage(scen_s, st, epoch0, next_size):
+        kernel_step = _make_kernel_step(
+            scen_s, beam, opt, refine, use_pallas, fused, interpret,
+            I0.dtype,
+        )
+        body = _make_freeze_body(kernel_step, opt)
+
+        def cond(c):
+            return (c["epoch"] < opt.max_epochs) & (
+                jnp.sum(~c["done"]) > next_size
+            )
+
+        c = jax.lax.while_loop(cond, body, dict(st, epoch=epoch0))
+        ep = c.pop("epoch")
+        return c, ep
+
+    state = _lane_state_init(I0)
+    epoch = jnp.asarray(0, jnp.int32)
+    state, epoch = run_stage(
+        scenario, state, epoch, sizes[1] if len(sizes) > 1 else 0
+    )
+    for i, s in enumerate(sizes[1:], start=1):
+        nxt = sizes[i + 1] if i + 1 < len(sizes) else 0
+        # stable argsort: active lanes first, in original order; trailing
+        # slots are genuinely-converged lanes that stay frozen
+        gidx = jnp.argsort(state["done"])[:s]
+        ws = jax.tree.map(lambda x: x[gidx], state)
+        scen_s = jax.tree.map(lambda x: x[gidx], scenario)
+        ws, epoch = run_stage(scen_s, ws, epoch, nxt)
+        # gidx is a subset of a permutation -> conflict-free scatter
+        state = jax.tree.map(lambda f, w: f.at[gidx].set(w), state, ws)
+
+    sol, piv = _final_solution(
+        scenario, state["I_solved"], beam, refine, use_pallas, fused,
+        interpret,
+    )
     return BeamOptResult(
-        I=c["I"],
-        I_solved=c["I_solved"],
+        I=state["I"],
+        I_solved=state["I_solved"],
         solution=sol,
-        loss=c["comps"],
-        n_epochs=c["n_epochs"],
-        converged=c["done"],
+        loss=state["comps"],
+        n_epochs=state["n_epochs"],
+        converged=state["done"],
         loss_history=None,
         pivot=piv,
     )

@@ -146,3 +146,92 @@ def test_update_rule_matches_torch_reference():
     np.testing.assert_allclose(
         np.asarray(I_j), I_t.detach().numpy(), rtol=1e-5
     )
+
+
+def _random_batch(B=24, seed=0):
+    from openpystruct_tpu.config import ScenarioConfig
+    from openpystruct_tpu.datagen.sampler import sample_scenario
+
+    scen_cfg = ScenarioConfig()
+    keys = jax.random.split(jax.random.PRNGKey(seed), B)
+    sc = jax.vmap(lambda k: sample_scenario(k, scen_cfg))(keys)
+    sc = jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        sc,
+    )
+    return sc, scen_cfg
+
+
+def test_compact_matches_batched_exactly():
+    """Lane compaction must not change any per-lane trajectory: the cascade
+    only re-partitions independent lanes, so every output field is bitwise
+    identical to the plain batched driver."""
+    from openpystruct_tpu.opt.beam_opt import (
+        optimize_beam_batched,
+        optimize_beam_compact,
+    )
+
+    sc, scen_cfg = _random_batch(B=24)
+    beam = BeamConfig(udl=scen_cfg.udl)
+    opt = OptimizerConfig(max_epochs=150, tolerance=5e-3, patience=5)
+
+    r1 = jax.jit(
+        lambda s: optimize_beam_batched(s, beam, opt, use_pallas=False,
+                                        fused=False)
+    )(sc)
+    # min_bucket far below B so several compaction stages actually run
+    r2 = jax.jit(
+        lambda s: optimize_beam_compact(s, beam, opt, use_pallas=False,
+                                        fused=False, min_bucket=4)
+    )(sc)
+    # lanes must converge at spread-out epochs for the test to mean anything
+    assert len(np.unique(np.asarray(r1.n_epochs))) > 3
+    np.testing.assert_array_equal(np.asarray(r1.n_epochs),
+                                  np.asarray(r2.n_epochs))
+    np.testing.assert_array_equal(np.asarray(r1.converged),
+                                  np.asarray(r2.converged))
+    np.testing.assert_array_equal(np.asarray(r1.I), np.asarray(r2.I))
+    np.testing.assert_array_equal(np.asarray(r1.solution.deflections),
+                                  np.asarray(r2.solution.deflections))
+    np.testing.assert_array_equal(np.asarray(r1.loss.total),
+                                  np.asarray(r2.loss.total))
+
+
+def test_compact_composes_with_shard_map():
+    """The cascade is one traced program, so it shards: each device compacts
+    its local lanes and the result matches the unsharded run exactly."""
+    from functools import partial
+
+    from openpystruct_tpu.opt.beam_opt import optimize_beam_compact
+
+    sc, scen_cfg = _random_batch(B=32, seed=3)
+    beam = BeamConfig(udl=scen_cfg.udl)
+    opt = OptimizerConfig(max_epochs=40, tolerance=5e-3, patience=5)
+
+    def run(s):
+        return optimize_beam_compact(s, beam, opt, use_pallas=False,
+                                     fused=False, min_bucket=2)
+
+    r_single = jax.jit(run)(sc)
+
+    mesh = jax.sharding.Mesh(np.array(jax.devices("cpu")[:8]), ("data",))
+    spec = jax.sharding.PartitionSpec("data")
+    r_shard = jax.jit(
+        jax.shard_map(run, mesh=mesh, in_specs=spec, out_specs=spec,
+                      check_vma=False)
+    )(sc)
+    np.testing.assert_array_equal(np.asarray(r_single.n_epochs),
+                                  np.asarray(r_shard.n_epochs))
+    np.testing.assert_array_equal(np.asarray(r_single.I),
+                                  np.asarray(r_shard.I))
+
+
+def test_compact_sizes_schedule():
+    from openpystruct_tpu.opt.beam_opt import _compact_sizes
+
+    assert _compact_sizes(8192, 512) == [8192, 4096, 2048, 1024, 512]
+    assert _compact_sizes(3000, 512) == [3000, 2048, 1024, 512]
+    assert _compact_sizes(64, 512) == [64]
+    assert _compact_sizes(64, 4) == [64, 32, 16, 8, 4]
+    assert _compact_sizes(1, 512) == [1]
