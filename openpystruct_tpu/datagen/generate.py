@@ -12,12 +12,17 @@ garbage rather than an error code, so validity is determined by a
 Schur-pivot singularity check on the final system plus finiteness — the
 TPU-native analog of the analyze-failure filter.
 
-Known divergence: random-bridge mode occasionally produces extremely
-ill-conditioned (but structurally valid) systems — one roller near the pin
-plus the 1e-8 I clamp gives ~5e7 stiffness contrast.  float64 OpenSees
-keeps those samples; the float32 pivot check here drops them (their float32
-solutions would be garbage anyway).  Expect ~10-25% drop rate in
-random-bridge mode, 0% in the fixed-bridge default.
+Random-bridge mode frequently produces extremely ill-conditioned (but
+structurally valid — the sampler always places >= 1 roller) systems: one
+roller near the pin plus the 1e-8 I clamp gives ~5e7 stiffness contrast.
+float64 OpenSees keeps those samples; the float32 pivot check drops them
+(their float32 solutions would be garbage), ~25-40% of a random-bridge
+batch.  The **float64 rescue** (``rescue=True``, the default whenever
+``random_bridge`` is on) closes that distribution gap: pivot-rejected lanes
+are re-optimized from scratch in float64 on the host CPU — exactly the
+arithmetic the reference runs for *every* sample — and merged back, so the
+kept-sample support matches the reference's (drop rate ~0%).  The TPU keeps
+the >97% fast path; only the conditioning tail pays the slow f64 path.
 """
 
 from __future__ import annotations
@@ -117,6 +122,144 @@ def _make_batch_fn(
     return jax.jit(batch_fn)
 
 
+# Validity floor for float64-rescued lanes.  Empirical: rescued
+# random-bridge lanes' f64 Schur pivots sit in [7.5e-10, 1.3e-5] (pure
+# conditioning spread — every lane has a pin + >=1 roller, so none is a
+# mechanism), while a genuinely singular system collapses to the f64
+# round-off floor orders of magnitude below.  1e-12 splits the two regimes
+# with >2 decades of margin on each side.
+RESCUE_PIVOT_TOL = 1e-12
+
+# Gather/merge programs for the rescue path (shape-keyed by jit itself;
+# module-level so the wrappers — and their compile caches — are reused)
+
+
+@jax.jit
+def _gather_scenario(scenario, gidx):
+    return jax.tree.map(lambda x: x[gidx], scenario)
+
+
+@functools.lru_cache(maxsize=8)
+def _make_rescue_fn(beam_cfg: BeamConfig, opt_cfg: OptimizerConfig):
+    """float64 re-optimization of pivot-rejected lanes (call on CPU under
+    ``jax.enable_x64()``).  Cold start from I0, full epoch budget — for
+    these lanes this IS the reference's computation (its torch/OpenSees
+    loop is float64 throughout), not an approximation of it."""
+    from openpystruct_tpu.opt.beam_opt import optimize_beam_compact
+
+    @jax.jit
+    def rescue(scenario, I0):
+        res = optimize_beam_compact(
+            scenario, beam_cfg, opt_cfg, I0=I0,
+            use_pallas=False, fused=False, min_bucket=32,
+        )
+        pivot = jax.vmap(
+            lambda I, sc: beam_min_pivot(I, sc, beam_cfg.E, beam_cfg.A)
+        )(res.I_solved, scenario)
+        finite = jnp.all(jnp.isfinite(res.I), axis=-1) & jnp.all(
+            jnp.isfinite(res.solution.displacements), axis=(-2, -1)
+        )
+        valid = finite & (pivot > RESCUE_PIVOT_TOL)
+        sol = res.solution
+        return dict(
+            I=res.I, I_solved=res.I_solved,
+            displacements=sol.displacements, deflections=sol.deflections,
+            rotations=sol.rotations, shear=sol.shear_forces,
+            moment=sol.bending_moments,
+            loss=jnp.stack([res.loss.total, res.loss.primary,
+                            res.loss.bending_energy, res.loss.shear_energy]),
+            n_epochs=res.n_epochs, converged=res.converged,
+            pivot=pivot, valid=valid,
+        )
+
+    return rescue
+
+
+@jax.jit
+def _merge_rescued(batch: DatagenBatch, sub: dict, put) -> DatagenBatch:
+    """Scatter rescued lanes back into the batch.  ``put`` carries an
+    out-of-range index on padding positions, which the scatter drops."""
+
+    def sc(dst, src):
+        return dst.at[put].set(src.astype(dst.dtype), mode="drop")
+
+    res, sol = batch.result, batch.result.solution
+    sol = sol.replace(
+        displacements=sc(sol.displacements, sub["displacements"]),
+        deflections=sc(sol.deflections, sub["deflections"]),
+        rotations=sc(sol.rotations, sub["rotations"]),
+        shear_forces=sc(sol.shear_forces, sub["shear"]),
+        bending_moments=sc(sol.bending_moments, sub["moment"]),
+    )
+    loss = res.loss.replace(
+        total=sc(res.loss.total, sub["loss"][0]),
+        primary=sc(res.loss.primary, sub["loss"][1]),
+        bending_energy=sc(res.loss.bending_energy, sub["loss"][2]),
+        shear_energy=sc(res.loss.shear_energy, sub["loss"][3]),
+    )
+    res = res.replace(
+        I=sc(res.I, sub["I"]),
+        I_solved=sc(res.I_solved, sub["I_solved"]),
+        solution=sol,
+        loss=loss,
+        n_epochs=sc(res.n_epochs, sub["n_epochs"]),
+        converged=sc(res.converged, sub["converged"]),
+        pivot=(sc(res.pivot, sub["pivot"])
+               if res.pivot is not None else None),
+    )
+    return batch.replace(
+        result=res,
+        valid=sc(batch.valid, sub["valid"]),
+        residual=sc(batch.residual, sub["pivot"]),
+    )
+
+
+def _rescue_batch(
+    batch: DatagenBatch,
+    beam_cfg: BeamConfig,
+    opt_cfg: OptimizerConfig,
+) -> DatagenBatch:
+    """Re-optimize the pivot-rejected lanes of ``batch`` in float64 on the
+    host CPU and merge the results back (see module docstring)."""
+    valid = np.asarray(batch.valid)
+    bad = np.flatnonzero(~valid)
+    if bad.size == 0:
+        return batch
+
+    B = valid.shape[0]
+    nelem = batch.result.I.shape[-1]
+    # power-of-two bucket bounds the number of compiled rescue shapes
+    bucket = min(B, 1 << max(bad.size - 1, 31).bit_length())
+    gidx = np.concatenate(
+        [bad, np.zeros(bucket - bad.size, dtype=bad.dtype)]
+    )
+    sub_scen = jax.tree.map(
+        np.asarray, _gather_scenario(batch.scenario, jnp.asarray(gidx))
+    )
+
+    cpu = jax.devices("cpu")[0]
+    with jax.enable_x64(), jax.default_device(cpu):
+        scen64 = jax.tree.map(
+            lambda x: jnp.asarray(
+                x, jnp.float64 if np.issubdtype(x.dtype, np.floating)
+                else x.dtype
+            ),
+            sub_scen,
+        )
+        I0 = jnp.full((bucket, nelem), beam_cfg.I0, jnp.float64)
+        out = _make_rescue_fn(beam_cfg, opt_cfg)(scen64, I0)
+        # cast down on the host: halves the host->device transfer and the
+        # batch arrays are float32 anyway
+        out = {
+            k: np.asarray(v).astype(np.float32)
+            if v.dtype == jnp.float64 else np.asarray(v)
+            for k, v in out.items()
+        }
+
+    put = np.where(np.arange(bucket) < bad.size, gidx, B)
+    return _merge_rescued(batch, out, jnp.asarray(put))
+
+
 def generate_batch(
     key,
     batch_size: int,
@@ -129,6 +272,7 @@ def generate_batch(
     data_axis: str = "data",
     use_pallas: Optional[bool] = None,
     compact: Optional[bool] = None,
+    rescue: Optional[bool] = None,
 ) -> DatagenBatch:
     """Generate and optimize ``batch_size`` random scenarios in one program.
 
@@ -150,6 +294,10 @@ def generate_batch(
     if compact is None:
         per_dev = batch_size // (mesh.size if mesh is not None else 1)
         compact = per_dev >= 2048
+    if rescue is None:
+        # only random-bridge produces the ill-conditioned tail the float32
+        # pivot check drops (module docstring); elsewhere skip the host sync
+        rescue = scen_cfg.random_bridge
     keys = jax.random.split(key, batch_size)
 
     fn = _make_batch_fn(
@@ -161,7 +309,10 @@ def generate_batch(
             mesh, jax.sharding.PartitionSpec(data_axis)
         )
         keys = jax.device_put(keys, sharding)
-    return fn(keys)
+    batch = fn(keys)
+    if rescue:
+        batch = _rescue_batch(batch, beam_cfg, opt_cfg)
+    return batch
 
 
 def generate_dataset(
@@ -177,6 +328,7 @@ def generate_dataset(
     progress: bool = False,
     use_pallas: Optional[bool] = None,
     compact: Optional[bool] = None,
+    rescue: Optional[bool] = None,
 ) -> dict:
     """Generate ``num_samples`` scenarios in fixed-size batches and return a
     columnar host-side dict in the reference's 13-key dataset schema
@@ -192,7 +344,7 @@ def generate_dataset(
         key, sub = jax.random.split(key)
         batch = generate_batch(
             sub, b, scen_cfg, beam_cfg, opt_cfg, refine, pivot_tol, mesh,
-            use_pallas=use_pallas, compact=compact,
+            use_pallas=use_pallas, compact=compact, rescue=rescue,
         )
         chunks.append(batch_to_columnar(batch))
         done += b
@@ -236,6 +388,7 @@ def generate_dataset_json(
     progress: bool = False,
     use_pallas: Optional[bool] = None,
     compact: Optional[bool] = None,
+    rescue: Optional[bool] = None,
 ) -> int:
     """Generate ``num_samples`` and stream the reference-schema JSON to
     ``path`` batch by batch through the native C++ writer (pure-Python
@@ -254,7 +407,7 @@ def generate_dataset_json(
         key, sub = jax.random.split(key)
         batch = generate_batch(
             sub, b, scen_cfg, beam_cfg, opt_cfg, refine, pivot_tol,
-            mesh, use_pallas=use_pallas, compact=compact,
+            mesh, use_pallas=use_pallas, compact=compact, rescue=rescue,
         )
         writer.append(_json_fields(batch))
         done += b
@@ -277,6 +430,7 @@ def generate_to_shards(
     progress: bool = False,
     use_pallas: Optional[bool] = None,
     compact: Optional[bool] = None,
+    rescue: Optional[bool] = None,
 ):
     """Crash-safe incremental generation: one ``.npz`` shard per batch,
     deterministic per-shard rng (fold_in on the shard index), and resume by
@@ -304,6 +458,7 @@ def generate_to_shards(
         batch = generate_batch(
             jax.random.fold_in(key, i), b, scen_cfg, beam_cfg, opt_cfg,
             refine, pivot_tol, mesh, use_pallas=use_pallas, compact=compact,
+            rescue=rescue,
         )
         # np.savez appends .npz to extension-less names — keep it explicit
         tmp = p[: -len(".npz")] + ".tmp.npz"

@@ -82,19 +82,52 @@ def test_generate_batch_random_bridge():
 
     Random-bridge configurations can be extremely ill-conditioned (a single
     roller near the pin leaves a ~200 m quasi-cantilever, and the 1e-8 I
-    clamp creates ~5e7 stiffness contrast); the float32 pivot check drops
-    those as unsolvable-in-f32 — a deliberate divergence from the reference,
-    whose float64 OpenSees would keep them (documented in datagen.generate).
+    clamp creates ~5e7 stiffness contrast); with the float64 rescue off,
+    the float32 pivot check drops those as unsolvable-in-f32 (documented in
+    datagen.generate; the rescue test below covers closing that gap).
     """
     cfg = ScenarioConfig(random_bridge=True)
     batch = generate_batch(
-        jax.random.PRNGKey(7), 12, scen_cfg=cfg, opt_cfg=FAST_OPT, refine=2
+        jax.random.PRNGKey(7), 12, scen_cfg=cfg, opt_cfg=FAST_OPT, refine=2,
+        rescue=False,
     )
     valid = np.asarray(batch.valid)
     assert valid.sum() >= 8, f"pivots: {np.asarray(batch.residual)}"
     L = np.asarray(batch.scenario.node_x)[:, -1]
     assert len(np.unique(np.round(L, 5))) == 12  # every sample distinct
     assert (np.asarray(batch.result.I)[valid] >= 1e-8).all()
+
+
+def test_random_bridge_f64_rescue():
+    """The float64 rescue keeps the samples float64 OpenSees would keep
+    (reference MultiCore.py:182-186 drops only analyze failures): drop rate
+    goes to ~0, already-valid lanes are untouched bit-for-bit, and rescued
+    lanes satisfy the constraint physics exactly in f64."""
+    cfg = ScenarioConfig(random_bridge=True)
+    import dataclasses
+
+    opt = dataclasses.replace(FAST_OPT, max_epochs=60)
+    kw = dict(scen_cfg=cfg, opt_cfg=opt, refine=0, use_pallas=False)
+    b0 = generate_batch(jax.random.PRNGKey(11), 64, rescue=False, **kw)
+    b1 = generate_batch(jax.random.PRNGKey(11), 64, rescue=True, **kw)
+    v0, v1 = np.asarray(b0.valid), np.asarray(b1.valid)
+    assert v0.sum() < 64, "seed produced no f32 drops; test is vacuous"
+    # the support distribution now matches the reference's: nothing dropped
+    assert v1.mean() > 0.99
+    # lanes the f32 path kept are merged through untouched
+    for a, c in [(b0.result.I, b1.result.I),
+                 (b0.result.solution.deflections,
+                  b1.result.solution.deflections),
+                 (b0.result.n_epochs, b1.result.n_epochs)]:
+        assert (np.asarray(a)[v0] == np.asarray(c)[v0]).all()
+    # rescued lanes: finite, clamp respected, rollers pinned exactly
+    resc = v1 & ~v0
+    assert resc.any()
+    I = np.asarray(b1.result.I)[resc]
+    assert np.isfinite(I).all() and (I >= 1e-8).all()
+    defl = np.asarray(b1.result.solution.deflections)[resc]
+    rollers = np.asarray(b1.scenario.roller_mask)[resc]
+    assert np.abs(np.where(rollers, defl, 0.0)).max() == 0.0
 
 
 def test_generate_batch_sharded_matches_unsharded():
