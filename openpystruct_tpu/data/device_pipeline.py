@@ -33,10 +33,10 @@ def _fit_scaler(flat2d):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_valid", "n_cases", "tr_sz", "total", "c", "seed",
+    static_argnames=("n_valid", "n_cases", "tr_sz", "total", "c",
                      "nheads_pad", "widths"),
 )
-def _prepare(arrays, *, n_valid, n_cases, tr_sz, total, c, seed, nheads_pad,
+def _prepare(arrays, key, *, n_valid, n_cases, tr_sz, total, c, nheads_pad,
              widths):
     # Concatenate features FIRST: four narrow arrays (last dims 4-5) pad to
     # 128 lanes each under TPU tiling, so per-feature gathers move ~25x more
@@ -54,7 +54,7 @@ def _prepare(arrays, *, n_valid, n_cases, tr_sz, total, c, seed, nheads_pad,
     X3 = group(X_all)
     I3 = group(arrays["I"])
 
-    perm = jax.random.permutation(jax.random.PRNGKey(seed), total)
+    perm = jax.random.permutation(key, total)
     tr, va = perm[:tr_sz], perm[tr_sz:]
 
     x_tr, x_va = X3[tr], X3[va]
@@ -115,8 +115,9 @@ def prepare_dataset_device(
     widths = tuple(int(arrays[k].shape[-1]) for k in _FEATS)
     out = _prepare(
         {k: arrays[k] for k in _FEATS + ("I", "valid")},
+        jax.random.PRNGKey(seed),  # dynamic: new seeds must not recompile
         n_valid=n_valid, n_cases=n_cases, tr_sz=tr_sz, total=total,
-        c=float(c), seed=seed, nheads_pad=nheads_pad or 0, widths=widths,
+        c=float(c), nheads_pad=nheads_pad or 0, widths=widths,
     )
 
     scalers = {
