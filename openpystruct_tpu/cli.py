@@ -78,6 +78,10 @@ def _add_train(sub):
     p.add_argument("--epochs-per-sync", type=int, default=10)
     p.add_argument("--mesh", action="store_true")
     p.add_argument("--plot", type=str, default=None)
+    p.add_argument("--watch", type=str, default=None,
+                   help="live training plot: PNG path atomically rewritten "
+                        "each sync chunk (the reference's plt.ion live_plot "
+                        "for headless hosts)")
 
 
 def cmd_beam_opt(args):
@@ -264,6 +268,7 @@ def cmd_train(args):
         model, ds.X_train, ds.Y_train, ds.X_val, ds.Y_val, cfg,
         rng=jax.random.PRNGKey(args.seed), mesh=mesh,
         epochs_per_sync=args.epochs_per_sync, verbose=True,
+        live_plot=args.watch,
         checkpoint_dir=state_dir, resume_from=resume_from, **fit_kwargs,
     )
     dt = time.time() - t0

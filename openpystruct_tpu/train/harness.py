@@ -110,6 +110,7 @@ def fit(
     epochs_per_sync: int = 1,
     verbose: bool = False,
     metrics=None,
+    live_plot=None,
     checkpoint_dir: Optional[str] = None,
     resume_from: Optional[str] = None,
     checkpoint_every: int = 1,
@@ -132,6 +133,11 @@ def fit(
     ``metrics``: an optional ``utils.MetricsLogger`` receiving one entry per
     epoch (train_loss, val_loss).
 
+    ``live_plot``: a ``viz.LiveLossPlot`` (or a path string, which creates
+    one writing a self-refreshing PNG) updated once per sync chunk — the
+    reference's per-epoch live training plot
+    (OpenPyStruct_FNN_MultiCase.py:493-515,594) for headless TPU hosts.
+
     ``checkpoint_dir``: save the FULL training state (params, optimizer
     state, best-so-far, loop rng, epoch counters, loss histories) every
     ``checkpoint_every`` sync chunks; ``resume_from`` restores such a
@@ -143,6 +149,10 @@ def fit(
     """
     if rng is None:
         rng = jax.random.PRNGKey(cfg.seed)
+    if isinstance(live_plot, str):
+        from openpystruct_tpu.viz import LiveLossPlot
+
+        live_plot = LiveLossPlot(live_plot)
     X_train = jnp.asarray(X_train, jnp.float32)
     Y_train = jnp.asarray(Y_train, jnp.float32)
     X_val = jnp.asarray(X_val, jnp.float32)
@@ -418,6 +428,8 @@ def fit(
                     f"Epoch {epoch}/{cfg.num_epochs} | "
                     f"Train Loss={tr[i]:.6f}, Val Loss={va[i]:.6f}"
                 )
+        if live_plot is not None:
+            live_plot.update(train_hist, val_hist)
         epoch0 += chunk
         chunks_done += 1
         if checkpoint_dir and (

@@ -1,6 +1,7 @@
 """Host-side matplotlib reporting (the reference's L5 layer)."""
 
 from openpystruct_tpu.viz.plots import (
+    LiveLossPlot,
     plot_loss_history,
     plot_train_val_losses,
     plot_beam_diagrams,
@@ -10,6 +11,7 @@ from openpystruct_tpu.viz.plots import (
 )
 
 __all__ = [
+    "LiveLossPlot",
     "plot_loss_history",
     "plot_train_val_losses",
     "plot_beam_diagrams",

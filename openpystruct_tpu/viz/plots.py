@@ -61,6 +61,66 @@ def plot_train_val_losses(train_losses, val_losses):
     return fig
 
 
+class LiveLossPlot:
+    """The reference's per-epoch live training plot
+    (``plt.ion()`` + ``live_plot`` refreshed every epoch,
+    OpenPyStruct_FNN_MultiCase.py:493-515,594), headless-friendly.
+
+    With ``path`` given (the normal TPU-host case) the figure is atomically
+    rewritten to that file on every update — point any image viewer /
+    browser auto-refresh at it to watch training.  Without ``path`` and
+    with an interactive matplotlib backend, it behaves like the reference:
+    ``plt.ion()`` and an in-place window refresh.
+
+    Usage: pass an instance (or just a path) to ``train.fit(live_plot=...)``
+    or use ``train --watch out.png`` on the CLI.
+    """
+
+    def __init__(self, path=None, every: int = 1,
+                 title: str = "Training Progress (Live)"):
+        self.path = path
+        self.every = max(int(every), 1)
+        self.title = title
+        self._n = 0
+        plt = _plt()
+        self._plt = plt
+        self._fig, self._ax = plt.subplots(figsize=(10, 6))
+        if path is None and plt.isinteractive():
+            plt.ion()
+
+    def update(self, train_losses, val_losses):
+        """Redraw with the loss histories so far (called once per epoch /
+        sync chunk by the harness)."""
+        self._n += 1
+        if self._n % self.every:
+            return
+        ax = self._ax
+        ax.clear()
+        e = np.arange(1, len(train_losses) + 1)
+        ax.plot(e, train_losses, label="Train Loss", color="blue")
+        ax.plot(e, val_losses, label="Validation Loss", color="red")
+        ax.set_xlabel("Epochs")
+        ax.set_ylabel("Loss")
+        ax.set_title(self.title)
+        ax.legend(loc="upper right")
+        ax.grid(True, linestyle="--", alpha=0.7)
+        if self.path is not None:
+            import os
+
+            # write-then-rename so watchers never see a half-written file;
+            # format from the real path (savefig can't infer it from .tmp)
+            fmt = os.path.splitext(self.path)[1].lstrip(".") or "png"
+            tmp = f"{self.path}.tmp"
+            self._fig.savefig(tmp, dpi=80, format=fmt)
+            os.replace(tmp, self.path)
+        else:
+            self._fig.canvas.draw_idle()
+            self._plt.pause(0.001)
+
+    def close(self):
+        self._plt.close(self._fig)
+
+
 def plot_beam_diagrams(node_x, I, shear_forces, bending_moments,
                        roller_idx=(), force_idx=(), force_values=()):
     """3-panel I / shear / moment diagnostic (OpenPyStruct_BeamOpt.py:288-337).

@@ -51,3 +51,36 @@ def test_all_plots_render(tmp_path):
         out = tmp_path / f"fig{i}.png"
         fig.savefig(out)
         assert out.stat().st_size > 1000
+
+
+def test_live_loss_plot(tmp_path):
+    """Headless live plot: each update atomically rewrites the PNG
+    (the reference's plt.ion live_plot, FNN_MultiCase.py:493-515,594)."""
+    from openpystruct_tpu.viz import LiveLossPlot
+
+    path = str(tmp_path / "live.png")
+    lp = LiveLossPlot(path)
+    lp.update([1.0], [1.2])
+    import os
+
+    assert os.path.exists(path)
+    size1 = os.path.getsize(path)
+    lp.update([1.0, 0.8, 0.6], [1.2, 0.9, 0.7])
+    assert os.path.getsize(path) > 0 and os.path.getsize(path) != 0
+    lp.close()
+    assert size1 > 1000  # a real PNG, not a stub
+
+
+def test_live_plot_every_throttle(tmp_path):
+    from openpystruct_tpu.viz import LiveLossPlot
+
+    path = str(tmp_path / "live.png")
+    lp = LiveLossPlot(path, every=5)
+    for i in range(4):
+        lp.update([1.0] * (i + 1), [1.0] * (i + 1))
+    import os
+
+    assert not os.path.exists(path)  # throttled
+    lp.update([1.0] * 5, [1.0] * 5)
+    assert os.path.exists(path)
+    lp.close()
