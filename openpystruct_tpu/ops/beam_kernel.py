@@ -605,6 +605,19 @@ def _beam_opt_kernel(refine, grad_semi, G, alpha_m, alpha_s, clamp_min,
 # Host-side launchers
 # ---------------------------------------------------------------------------
 
+def _kernel_trace_scope(dtype):
+    """Mosaic lowers loop indices as 32-bit regardless of the x64 flag;
+    under a *globally enabled* x64 the kernel body's Python int literals
+    would lower as i64 and hit 'arith.cmpi requires all operands to have
+    the same type'.  Trace float32 kernels with x64 scoped off (a no-op
+    when x64 is already off); float64 interpret-mode tracing keeps x64."""
+    import contextlib
+
+    if dtype == jnp.float32:
+        return jax.enable_x64(False)
+    return contextlib.nullcontext()
+
+
 def _to_slab(x, tail_dims):
     """(B, d1, ..., dk) -> (T, d1, ..., dk, SUB, LANES)."""
     B = x.shape[0]
@@ -707,13 +720,14 @@ def _run_kernel(I, Le, free_mask, E, A, refine, interpret,
             pltpu.VMEM((n, 3, SUB, LANES), dtype),       # y
         ],
     )
-    outs = pl.pallas_call(
-        functools.partial(_beam_kernel, refine, explicit_rhs,
-                          recover_forces),
-        out_shape=out_shape,
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(*inputs)
+    with _kernel_trace_scope(dtype):
+        outs = pl.pallas_call(
+            functools.partial(_beam_kernel, refine, explicit_rhs,
+                              recover_forces),
+            out_shape=out_shape,
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(*inputs)
     if recover_forces:
         u_s, V_s, M_s, piv_s = outs
         return (
@@ -947,18 +961,19 @@ def pallas_beam_opt_step(I, mu, nu, Le, free_mask, point_loads, udl,
             pltpu.VMEM((nelem, SUB, LANES), dtype),      # r_thj
         ]),
     )
-    I_o, mu_o, nu_o, stats_s = pl.pallas_call(
-        functools.partial(_beam_opt_kernel, refine, grad_semi, G,
-                          alpha_m, alpha_s, clamp_min),
-        out_shape=[
-            jax.ShapeDtypeStruct((T, nelem, SUB, LANES), dtype),
-            jax.ShapeDtypeStruct((T, nelem, SUB, LANES), dtype),
-            jax.ShapeDtypeStruct((T, nelem, SUB, LANES), dtype),
-            jax.ShapeDtypeStruct((T, 4, SUB, LANES), dtype),
-        ],
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(I_s, Le_s, free_s, load_s, udl_s, ea, ee, mu_s, nu_s, hyp)
+    with _kernel_trace_scope(dtype):
+        I_o, mu_o, nu_o, stats_s = pl.pallas_call(
+            functools.partial(_beam_opt_kernel, refine, grad_semi, G,
+                              alpha_m, alpha_s, clamp_min),
+            out_shape=[
+                jax.ShapeDtypeStruct((T, nelem, SUB, LANES), dtype),
+                jax.ShapeDtypeStruct((T, nelem, SUB, LANES), dtype),
+                jax.ShapeDtypeStruct((T, nelem, SUB, LANES), dtype),
+                jax.ShapeDtypeStruct((T, 4, SUB, LANES), dtype),
+            ],
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(I_s, Le_s, free_s, load_s, udl_s, ea, ee, mu_s, nu_s, hyp)
     return (
         _from_slab(I_o, B0),
         _from_slab(mu_o, B0),

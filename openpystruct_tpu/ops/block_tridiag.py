@@ -259,10 +259,13 @@ def pallas_block_tridiag_solve(diag, upper, b, interpret=False):
             pltpu.VMEM((n, 3, SUB, LANES), dtype),
         ],
     )
-    x_s = pl.pallas_call(
-        _thomas_kernel,
-        out_shape=jax.ShapeDtypeStruct((T, n, 3, SUB, LANES), dtype),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(diag_s, upper_s, b_s)
+    from openpystruct_tpu.ops.beam_kernel import _kernel_trace_scope
+
+    with _kernel_trace_scope(dtype):
+        x_s = pl.pallas_call(
+            _thomas_kernel,
+            out_shape=jax.ShapeDtypeStruct((T, n, 3, SUB, LANES), dtype),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(diag_s, upper_s, b_s)
     return _from_slabs(x_s, B0)
