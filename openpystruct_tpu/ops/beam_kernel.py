@@ -44,6 +44,7 @@ from openpystruct_tpu.ops.block_tridiag import (
     LANES,
     SUB,
     TILE,
+    pick_sub,
     _inv3_slabs,
     _mm,
     _mv,
@@ -618,16 +619,17 @@ def _kernel_trace_scope(dtype):
     return contextlib.nullcontext()
 
 
-def _to_slab(x, tail_dims):
-    """(B, d1, ..., dk) -> (T, d1, ..., dk, SUB, LANES)."""
+def _to_slab(x, tail_dims, sub=SUB):
+    """(B, d1, ..., dk) -> (T, d1, ..., dk, sub, LANES)."""
     B = x.shape[0]
-    T = max((B + TILE - 1) // TILE, 1)
-    pad = T * TILE - B
+    tile = sub * LANES
+    T = max((B + tile - 1) // tile, 1)
+    pad = T * tile - B
     if pad:
         x = jnp.concatenate(
             [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
         )
-    x = x.reshape((T, SUB, LANES) + x.shape[1:])
+    x = x.reshape((T, sub, LANES) + x.shape[1:])
     perm = (0,) + tuple(range(3, 3 + tail_dims)) + (1, 2)
     return x.transpose(perm), B, T
 
@@ -648,10 +650,11 @@ def _spec(*block):
     )
 
 
-def _pad_lane_fixup(I_s, Le_s, free_s, B0, T):
+def _pad_lane_fixup(I_s, Le_s, free_s, B0, T, sub=SUB):
     """Padded lanes: free everything and set I=1, Le=1 -> well-posed."""
-    if T * TILE > B0:
-        lane_ids = jnp.arange(T * TILE).reshape(T, SUB, LANES)
+    tile = sub * LANES
+    if T * tile > B0:
+        lane_ids = jnp.arange(T * tile).reshape(T, sub, LANES)
         padm = (lane_ids >= B0)
         I_s = jnp.where(padm[:, None], 1.0, I_s)
         Le_s = jnp.where(padm[:, None], 1.0, Le_s)
@@ -668,56 +671,62 @@ def _run_kernel(I, Le, free_mask, E, A, refine, interpret,
     B, nelem = I.shape
     n = nelem + 1
     dtype = I.dtype
+    sub = pick_sub(n, 61)   # ~61 slab floats per node live in VMEM
+    if sub is None:
+        raise ValueError(
+            f"mesh of {n} nodes exceeds the fused kernel even at sub=1; "
+            "use the split path (solve_beam_batched falls back automatically)"
+        )
 
-    I_s, B0, T = _to_slab(I, 1)
-    Le_s, _, _ = _to_slab(Le, 1)
-    free_s, _, _ = _to_slab(free_mask.astype(dtype), 2)
-    I_s, Le_s, free_s = _pad_lane_fixup(I_s, Le_s, free_s, B0, T)
+    I_s, B0, T = _to_slab(I, 1, sub)
+    Le_s, _, _ = _to_slab(Le, 1, sub)
+    free_s, _, _ = _to_slab(free_mask.astype(dtype), 2, sub)
+    I_s, Le_s, free_s = _pad_lane_fixup(I_s, Le_s, free_s, B0, T, sub)
 
-    ea = jnp.full((T, 1, SUB, LANES), E * A, dtype)
-    ee = jnp.full((T, 1, SUB, LANES), E, dtype)
+    ea = jnp.full((T, 1, sub, LANES), E * A, dtype)
+    ee = jnp.full((T, 1, sub, LANES), E, dtype)
 
     in_specs = [
-        _spec(nelem, SUB, LANES),          # I
-        _spec(nelem, SUB, LANES),          # Le
-        _spec(n, 3, SUB, LANES),           # free
+        _spec(nelem, sub, LANES),          # I
+        _spec(nelem, sub, LANES),          # Le
+        _spec(n, 3, sub, LANES),           # free
     ]
     if explicit_rhs:
-        rhs_s, _, _ = _to_slab(rhs, 2)
-        in_specs += [_spec(n, 3, SUB, LANES)]
+        rhs_s, _, _ = _to_slab(rhs, 2, sub)
+        in_specs += [_spec(n, 3, sub, LANES)]
         inputs = (I_s, Le_s, free_s, rhs_s)
     else:
-        load_s, _, _ = _to_slab(point_loads, 1)
-        udl_s, _, _ = _to_slab(udl[:, None], 1)
-        in_specs += [_spec(n, SUB, LANES), _spec(1, SUB, LANES)]
+        load_s, _, _ = _to_slab(point_loads, 1, sub)
+        udl_s, _, _ = _to_slab(udl[:, None], 1, sub)
+        in_specs += [_spec(n, sub, LANES), _spec(1, sub, LANES)]
         inputs = (I_s, Le_s, free_s, load_s, udl_s)
-    in_specs += [_spec(1, SUB, LANES), _spec(1, SUB, LANES)]   # EA, E
+    in_specs += [_spec(1, sub, LANES), _spec(1, sub, LANES)]   # EA, E
     inputs = inputs + (ea, ee)
 
-    out_specs = [_spec(n, 3, SUB, LANES)]                       # u
-    out_shape = [jax.ShapeDtypeStruct((T, n, 3, SUB, LANES), dtype)]
+    out_specs = [_spec(n, 3, sub, LANES)]                       # u
+    out_shape = [jax.ShapeDtypeStruct((T, n, 3, sub, LANES), dtype)]
     if recover_forces:
-        out_specs += [_spec(nelem, SUB, LANES), _spec(nelem, SUB, LANES)]
+        out_specs += [_spec(nelem, sub, LANES), _spec(nelem, sub, LANES)]
         out_shape += [
-            jax.ShapeDtypeStruct((T, nelem, SUB, LANES), dtype),
-            jax.ShapeDtypeStruct((T, nelem, SUB, LANES), dtype),
+            jax.ShapeDtypeStruct((T, nelem, sub, LANES), dtype),
+            jax.ShapeDtypeStruct((T, nelem, sub, LANES), dtype),
         ]
-    out_specs += [_spec(1, SUB, LANES)]                         # pivot
-    out_shape += [jax.ShapeDtypeStruct((T, 1, SUB, LANES), dtype)]
+    out_specs += [_spec(1, sub, LANES)]                         # pivot
+    out_shape += [jax.ShapeDtypeStruct((T, 1, sub, LANES), dtype)]
 
     grid_spec = pl.GridSpec(
         grid=(T,),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((nelem, 5, SUB, LANES), dtype),   # ks
-            pltpu.VMEM((n, 3, 3, SUB, LANES), dtype),    # diag
-            pltpu.VMEM((n, 3, 3, SUB, LANES), dtype),    # upper
-            pltpu.VMEM((n, 3, SUB, LANES), dtype),       # f
-            pltpu.VMEM((n, 3, SUB, LANES), dtype),       # s
-            pltpu.VMEM((n, 3, 3, SUB, LANES), dtype),    # sinv
-            pltpu.VMEM((n, 3, 3, SUB, LANES), dtype),    # c
-            pltpu.VMEM((n, 3, SUB, LANES), dtype),       # y
+            pltpu.VMEM((nelem, 5, sub, LANES), dtype),   # ks
+            pltpu.VMEM((n, 3, 3, sub, LANES), dtype),    # diag
+            pltpu.VMEM((n, 3, 3, sub, LANES), dtype),    # upper
+            pltpu.VMEM((n, 3, sub, LANES), dtype),       # f
+            pltpu.VMEM((n, 3, sub, LANES), dtype),       # s
+            pltpu.VMEM((n, 3, 3, sub, LANES), dtype),    # sinv
+            pltpu.VMEM((n, 3, 3, sub, LANES), dtype),    # c
+            pltpu.VMEM((n, 3, sub, LANES), dtype),       # y
         ],
     )
     with _kernel_trace_scope(dtype):
@@ -905,60 +914,66 @@ def pallas_beam_opt_step(I, mu, nu, Le, free_mask, point_loads, udl,
     B, nelem = I.shape
     n = nelem + 1
     dtype = I.dtype
+    sub = pick_sub(n, 66)   # ~66 slab floats per node live in VMEM
+    if sub is None:
+        raise ValueError(
+            f"mesh of {n} nodes exceeds the fused opt-step kernel even at "
+            "sub=1; use the split path (fused=False)"
+        )
 
-    I_s, B0, T = _to_slab(I, 1)
-    mu_s, _, _ = _to_slab(mu, 1)
-    nu_s, _, _ = _to_slab(nu, 1)
-    Le_s, _, _ = _to_slab(Le, 1)
-    free_s, _, _ = _to_slab(free_mask.astype(dtype), 2)
-    load_s, _, _ = _to_slab(point_loads, 1)
-    udl_s, _, _ = _to_slab(udl[:, None], 1)
-    I_s, Le_s, free_s = _pad_lane_fixup(I_s, Le_s, free_s, B0, T)
+    I_s, B0, T = _to_slab(I, 1, sub)
+    mu_s, _, _ = _to_slab(mu, 1, sub)
+    nu_s, _, _ = _to_slab(nu, 1, sub)
+    Le_s, _, _ = _to_slab(Le, 1, sub)
+    free_s, _, _ = _to_slab(free_mask.astype(dtype), 2, sub)
+    load_s, _, _ = _to_slab(point_loads, 1, sub)
+    udl_s, _, _ = _to_slab(udl[:, None], 1, sub)
+    I_s, Le_s, free_s = _pad_lane_fixup(I_s, Le_s, free_s, B0, T, sub)
 
-    ea = jnp.full((T, 1, SUB, LANES), E * A, dtype)
-    ee = jnp.full((T, 1, SUB, LANES), E, dtype)
+    ea = jnp.full((T, 1, sub, LANES), E * A, dtype)
+    ee = jnp.full((T, 1, sub, LANES), E, dtype)
     hyp = jnp.broadcast_to(
         jnp.stack([
             jnp.asarray(lr_t, dtype), jnp.asarray(bc1, dtype),
             jnp.asarray(bc2, dtype),
         ]).reshape(1, 3, 1, 1),
-        (T, 3, SUB, LANES),
+        (T, 3, sub, LANES),
     )
 
     grid_spec = pl.GridSpec(
         grid=(T,),
         in_specs=[
-            _spec(nelem, SUB, LANES),    # I
-            _spec(nelem, SUB, LANES),    # Le
-            _spec(n, 3, SUB, LANES),     # free
-            _spec(n, SUB, LANES),        # loads
-            _spec(1, SUB, LANES),        # udl
-            _spec(1, SUB, LANES),        # EA
-            _spec(1, SUB, LANES),        # E
-            _spec(nelem, SUB, LANES),    # mu
-            _spec(nelem, SUB, LANES),    # nu
-            _spec(3, SUB, LANES),        # hyp
+            _spec(nelem, sub, LANES),    # I
+            _spec(nelem, sub, LANES),    # Le
+            _spec(n, 3, sub, LANES),     # free
+            _spec(n, sub, LANES),        # loads
+            _spec(1, sub, LANES),        # udl
+            _spec(1, sub, LANES),        # EA
+            _spec(1, sub, LANES),        # E
+            _spec(nelem, sub, LANES),    # mu
+            _spec(nelem, sub, LANES),    # nu
+            _spec(3, sub, LANES),        # hyp
         ],
         out_specs=[
-            _spec(nelem, SUB, LANES),    # I_new
-            _spec(nelem, SUB, LANES),    # mu_new
-            _spec(nelem, SUB, LANES),    # nu_new
-            _spec(4, SUB, LANES),        # stats
+            _spec(nelem, sub, LANES),    # I_new
+            _spec(nelem, sub, LANES),    # mu_new
+            _spec(nelem, sub, LANES),    # nu_new
+            _spec(4, sub, LANES),        # stats
         ],
         scratch_shapes=[
-            pltpu.VMEM((nelem, 5, SUB, LANES), dtype),   # ks
-            pltpu.VMEM((n, 3, 3, SUB, LANES), dtype),    # diag
-            pltpu.VMEM((n, 3, 3, SUB, LANES), dtype),    # upper
-            pltpu.VMEM((n, 3, SUB, LANES), dtype),       # f
-            pltpu.VMEM((n, 3, SUB, LANES), dtype),       # s
-            pltpu.VMEM((n, 3, 3, SUB, LANES), dtype),    # sinv
-            pltpu.VMEM((n, 3, SUB, LANES), dtype),       # y (u, scaled)
-            pltpu.VMEM((n, 3, SUB, LANES), dtype),       # r (work / lam)
-            pltpu.VMEM((nelem, SUB, LANES), dtype),      # g
+            pltpu.VMEM((nelem, 5, sub, LANES), dtype),   # ks
+            pltpu.VMEM((n, 3, 3, sub, LANES), dtype),    # diag
+            pltpu.VMEM((n, 3, 3, sub, LANES), dtype),    # upper
+            pltpu.VMEM((n, 3, sub, LANES), dtype),       # f
+            pltpu.VMEM((n, 3, sub, LANES), dtype),       # s
+            pltpu.VMEM((n, 3, 3, sub, LANES), dtype),    # sinv
+            pltpu.VMEM((n, 3, sub, LANES), dtype),       # y (u, scaled)
+            pltpu.VMEM((n, 3, sub, LANES), dtype),       # r (work / lam)
+            pltpu.VMEM((nelem, sub, LANES), dtype),      # g
         ] + ([] if grad_semi else [
-            pltpu.VMEM((nelem, SUB, LANES), dtype),      # gV / r_uyi
-            pltpu.VMEM((nelem, SUB, LANES), dtype),      # gM / r_thi
-            pltpu.VMEM((nelem, SUB, LANES), dtype),      # r_thj
+            pltpu.VMEM((nelem, sub, LANES), dtype),      # gV / r_uyi
+            pltpu.VMEM((nelem, sub, LANES), dtype),      # gM / r_thi
+            pltpu.VMEM((nelem, sub, LANES), dtype),      # r_thj
         ]),
     )
     with _kernel_trace_scope(dtype):
@@ -966,10 +981,10 @@ def pallas_beam_opt_step(I, mu, nu, Le, free_mask, point_loads, udl,
             functools.partial(_beam_opt_kernel, refine, grad_semi, G,
                               alpha_m, alpha_s, clamp_min),
             out_shape=[
-                jax.ShapeDtypeStruct((T, nelem, SUB, LANES), dtype),
-                jax.ShapeDtypeStruct((T, nelem, SUB, LANES), dtype),
-                jax.ShapeDtypeStruct((T, nelem, SUB, LANES), dtype),
-                jax.ShapeDtypeStruct((T, 4, SUB, LANES), dtype),
+                jax.ShapeDtypeStruct((T, nelem, sub, LANES), dtype),
+                jax.ShapeDtypeStruct((T, nelem, sub, LANES), dtype),
+                jax.ShapeDtypeStruct((T, nelem, sub, LANES), dtype),
+                jax.ShapeDtypeStruct((T, 4, sub, LANES), dtype),
             ],
             grid_spec=grid_spec,
             interpret=interpret,

@@ -30,6 +30,23 @@ SUB = 4       # sublanes per slab (4 keeps total VMEM under the 16MB core
 LANES = 128   # lanes per slab
 TILE = SUB * LANES  # scenarios per grid program
 
+# Empirical VMEM ceiling for the n-proportional slab working set (v5e).
+# Counted as floats-per-node x n x sub x LANES x 4B; the fused analysis
+# kernel (~61 floats/node) compiles at n=151/sub=4 (~19 MB by this count)
+# and fails at n=201/sub=4 (~25 MB), so 20 MB splits the regimes.
+_VMEM_BUDGET = 20 * 2**20
+
+
+def pick_sub(n_nodes: int, floats_per_node: int):
+    """Largest slab depth (sublanes/slab) whose n-proportional VMEM
+    footprint fits; None when even sub=1 cannot fit (callers fall back to
+    the XLA scan path).  Halving sub halves VMEM per grid step and doubles
+    the grid, trading a little per-step efficiency for 2x the mesh size."""
+    for s in (SUB, 2, 1):
+        if floats_per_node * n_nodes * s * LANES * 4 <= _VMEM_BUDGET:
+            return s
+    return None
+
 
 def _inv3_slabs(m):
     """Cofactor inverse of a 3x3 block whose components are (SUB, 128)
@@ -142,17 +159,19 @@ def _thomas_kernel(diag_ref, upper_ref, b_ref, x_ref, c_scr, y_scr):
     jax.lax.fori_loop(0, n - 1, bwd, 0)
 
 
-def _to_slabs(x, n_tail):
-    """(B, n, *tail) -> (T, n, *tail, SUB, LANES) with B padded to T*TILE."""
+def _to_slabs(x, n_tail, sub=SUB):
+    """(B, n, *tail) -> (T, n, *tail, sub, LANES) with B padded to the
+    tile (sub * LANES)."""
     B = x.shape[0]
-    T = max((B + TILE - 1) // TILE, 1)
-    pad = T * TILE - B
+    tile = sub * LANES
+    T = max((B + tile - 1) // tile, 1)
+    pad = T * tile - B
     if pad:
         x = jnp.concatenate(
             [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
         )
-    # (T, SUB, LANES, n, *tail) -> (T, n, *tail, SUB, LANES)
-    x = x.reshape((T, SUB, LANES) + x.shape[1:])
+    # (T, sub, LANES, n, *tail) -> (T, n, *tail, sub, LANES)
+    x = x.reshape((T, sub, LANES) + x.shape[1:])
     perm = (0,) + tuple(range(3, 3 + 1 + n_tail)) + (1, 2)
     return x.transpose(perm), B, T
 
@@ -207,8 +226,8 @@ def _pallas_solve_bwd(refine, interpret, res, g):
 pallas_solve_sym.defvjp(_pallas_solve_fwd, _pallas_solve_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def pallas_block_tridiag_solve(diag, upper, b, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "sub"))
+def pallas_block_tridiag_solve(diag, upper, b, interpret=False, sub=None):
     """Solve K x = b for a batch of symmetric block-tridiagonal systems.
 
     Args:
@@ -216,25 +235,36 @@ def pallas_block_tridiag_solve(diag, upper, b, interpret=False):
       upper: (B, n-1, 3, 3) super-diagonal blocks (lower = upper^T).
       b: (B, n, 3) right-hand sides.
       interpret: run the kernel in interpreter mode (CPU testing).
+      sub: slab depth; defaults to the largest that fits VMEM at this n
+        (``pick_sub``).  Raises ValueError when the mesh exceeds even
+        sub=1 — use the scan path there.
 
     Returns (B, n, 3) solutions.  Systems are padded to the lane tile with
     identity blocks, so padding never divides by zero.
     """
     Bsz, n = diag.shape[0], diag.shape[1]
     dtype = diag.dtype
+    if sub is None:
+        sub = pick_sub(n, 36)
+    if sub is None:
+        raise ValueError(
+            f"mesh of {n} nodes exceeds the VMEM-resident kernel even at "
+            "sub=1; use fem.solve.block_tridiag_solve (scan path)"
+        )
+    tile = sub * LANES
 
     # zero-pad upper to n blocks; identity-fill the batch padding
     upper_p = jnp.concatenate(
         [upper, jnp.zeros((Bsz, 1, 3, 3), dtype)], axis=1
     )
-    diag_s, B0, T = _to_slabs(diag, 2)
-    upper_s, _, _ = _to_slabs(upper_p, 2)
-    b_s, _, _ = _to_slabs(b, 1)
-    if T * TILE > B0:
+    diag_s, B0, T = _to_slabs(diag, 2, sub)
+    upper_s, _, _ = _to_slabs(upper_p, 2, sub)
+    b_s, _, _ = _to_slabs(b, 1, sub)
+    if T * tile > B0:
         # make padded diagonals identity so the factorization stays finite
         eye = jnp.eye(3, dtype=dtype)[None, None, :, :, None, None]
         # mask of padded lanes, in slab coordinates
-        lane_ids = jnp.arange(T * TILE).reshape(T, SUB, LANES)
+        lane_ids = jnp.arange(T * tile).reshape(T, sub, LANES)
         padmask = jnp.broadcast_to(
             (lane_ids >= B0)[:, None, None, None, :, :], diag_s.shape
         )
@@ -243,20 +273,20 @@ def pallas_block_tridiag_solve(diag, upper, b, interpret=False):
     grid_spec = pl.GridSpec(
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, n, 3, 3, SUB, LANES), lambda t: (t, 0, 0, 0, 0, 0),
+            pl.BlockSpec((1, n, 3, 3, sub, LANES), lambda t: (t, 0, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, 3, 3, SUB, LANES), lambda t: (t, 0, 0, 0, 0, 0),
+            pl.BlockSpec((1, n, 3, 3, sub, LANES), lambda t: (t, 0, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, 3, SUB, LANES), lambda t: (t, 0, 0, 0, 0),
+            pl.BlockSpec((1, n, 3, sub, LANES), lambda t: (t, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, n, 3, SUB, LANES), lambda t: (t, 0, 0, 0, 0),
+            (1, n, 3, sub, LANES), lambda t: (t, 0, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((n, 3, 3, SUB, LANES), dtype),
-            pltpu.VMEM((n, 3, SUB, LANES), dtype),
+            pltpu.VMEM((n, 3, 3, sub, LANES), dtype),
+            pltpu.VMEM((n, 3, sub, LANES), dtype),
         ],
     )
     from openpystruct_tpu.ops.beam_kernel import _kernel_trace_scope
@@ -264,7 +294,7 @@ def pallas_block_tridiag_solve(diag, upper, b, interpret=False):
     with _kernel_trace_scope(dtype):
         x_s = pl.pallas_call(
             _thomas_kernel,
-            out_shape=jax.ShapeDtypeStruct((T, n, 3, SUB, LANES), dtype),
+            out_shape=jax.ShapeDtypeStruct((T, n, 3, sub, LANES), dtype),
             grid_spec=grid_spec,
             interpret=interpret,
         )(diag_s, upper_s, b_s)

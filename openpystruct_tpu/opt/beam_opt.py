@@ -213,7 +213,7 @@ def optimize_beam_batched(
         I0 = jnp.full((B, nelem), beam.I0, dtype=jnp.float32)
     dtype = I0.dtype
     if fused is None:
-        fused = use_pallas
+        fused = use_pallas and _fits_fused(nelem + 1)
 
     kernel_step = _make_kernel_step(
         scenario, beam, opt, refine, use_pallas, fused, interpret, dtype
@@ -244,6 +244,15 @@ def optimize_beam_batched(
         loss_history=None,
         pivot=piv,
     )
+
+
+def _fits_fused(n_nodes: int) -> bool:
+    """Whether the fused opt-step kernel's VMEM working set fits at this
+    mesh size (at some slab depth); past it the split path takes over and
+    past ~700 nodes the Pallas solve itself yields to the scan path."""
+    from openpystruct_tpu.ops.block_tridiag import pick_sub
+
+    return pick_sub(n_nodes, 66) is not None
 
 
 def _make_kernel_step(scenario, beam, opt, refine, use_pallas, fused,
@@ -486,7 +495,7 @@ def optimize_beam_compact(
     if I0 is None:
         I0 = jnp.full((B, nelem), beam.I0, dtype=jnp.float32)
     if fused is None:
-        fused = use_pallas
+        fused = use_pallas and _fits_fused(nelem + 1)
     sizes = _compact_sizes(B, min_bucket)
 
     def run_stage(scen_s, st, epoch0, next_size):

@@ -95,3 +95,50 @@ def test_pallas_random_spd():
     np.testing.assert_allclose(
         np.asarray(x_pal), np.asarray(x_ref), rtol=2e-5, atol=1e-6
     )
+
+
+def test_slab_depth_parity_and_pick():
+    """Size-adaptive slab depth: halving ``sub`` (to fit bigger meshes in
+    VMEM) only re-partitions lanes — solutions are identical across depths
+    — and ``pick_sub`` steps down as the mesh grows, returning None past
+    the VMEM-resident range (callers fall back to the scan path)."""
+    import numpy as np
+
+    from openpystruct_tpu.fem.solve import block_tridiag_solve
+    from openpystruct_tpu.ops.block_tridiag import (
+        pallas_block_tridiag_solve,
+        pick_sub,
+    )
+
+    # the fused analysis kernel's footprint (~61 floats/node)
+    assert pick_sub(101, 61) == 4
+    assert pick_sub(201, 61) == 2
+    assert pick_sub(401, 61) == 1
+    assert pick_sub(1400, 61) is None
+    # the solve-only kernel fits ~2x further at each depth
+    assert pick_sub(201, 36) == 4
+
+    rng = np.random.default_rng(3)
+    B, n = 9, 17
+    diag = jnp.asarray(rng.normal(size=(B, n, 3, 3)).astype(np.float32))
+    diag = diag @ diag.transpose(0, 1, 3, 2) + 6 * jnp.eye(3)
+    upper = jnp.asarray(
+        rng.normal(size=(B, n - 1, 3, 3)).astype(np.float32)) * 0.3
+    b = jnp.asarray(rng.normal(size=(B, n, 3)).astype(np.float32))
+    ref = jax.vmap(lambda d, u, r: block_tridiag_solve(d, u, r))(
+        diag, upper, b
+    )
+    for sub in (4, 2, 1):
+        x = pallas_block_tridiag_solve(diag, upper, b, interpret=True,
+                                       sub=sub)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_large_mesh_auto_fallback():
+    """Past the VMEM-resident range the batched paths must route around
+    the kernels instead of failing at compile time."""
+    from openpystruct_tpu.opt.beam_opt import _fits_fused
+
+    assert _fits_fused(101) and _fits_fused(501)
+    assert not _fits_fused(1500)
