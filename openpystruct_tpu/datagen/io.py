@@ -101,9 +101,24 @@ def write_json_dataset(columnar: dict, path: str) -> None:
         json.dump(columnar, f)
 
 
-def read_json_dataset(path: str) -> dict:
-    with open(path, "r") as f:
-        data = json.load(f)
+def read_json_dataset(path: str, native: bool = True) -> dict:
+    """Load a 13-key schema dataset.
+
+    With ``native=True`` (default) the C++ single-pass parser is used when
+    the toolchain is available: columns come back as numpy arrays (2D where
+    rows are uniform, lists of row arrays where ragged) instead of nested
+    Python lists — ~10x faster and far smaller than ``json.load`` on
+    multi-GB files, and drop-in for the pipeline (which only iterates rows
+    and calls ``len``).  Falls back to ``json.load`` transparently.
+    """
+    data = None
+    if native:
+        from openpystruct_tpu.datagen.native import read_json_dataset_native
+
+        data = read_json_dataset_native(path, SCHEMA_KEYS)
+    if data is None:
+        with open(path, "r") as f:
+            data = json.load(f)
     missing = [k for k in SCHEMA_KEYS if k not in data]
     if missing:
         raise ValueError(f"dataset at {path} missing keys: {missing}")

@@ -76,6 +76,106 @@ def native_available() -> bool:
     return _build_and_load() is not None
 
 
+_RSRC = os.path.join(os.path.dirname(_SRC), "dataset_reader.cpp")
+_rlib: Optional[ctypes.CDLL] = None
+_rlib_failed = False
+
+
+def _build_and_load_reader() -> Optional[ctypes.CDLL]:
+    global _rlib, _rlib_failed
+    if _rlib is not None:
+        return _rlib
+    if _rlib_failed:
+        return None
+    try:
+        with open(_RSRC, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        build_dir = os.path.join(os.path.dirname(_RSRC), "build")
+        os.makedirs(build_dir, exist_ok=True)
+        so_path = os.path.join(build_dir, f"libopsread-{digest}.so")
+        if not os.path.exists(so_path):
+            subprocess.run(
+                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                 _RSRC, "-o", so_path],
+                check=True, capture_output=True,
+            )
+        lib = ctypes.CDLL(so_path)
+        lib.opsio_read_open.restype = ctypes.c_void_p
+        lib.opsio_read_open.argtypes = [ctypes.c_char_p]
+        for fn in ("opsio_read_rows", "opsio_read_nvals"):
+            getattr(lib, fn).restype = ctypes.c_longlong
+            getattr(lib, fn).argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.opsio_read_is_scalar.restype = ctypes.c_int
+        lib.opsio_read_is_scalar.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.opsio_read_fill.restype = ctypes.c_int
+        lib.opsio_read_fill.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_longlong),
+        ]
+        lib.opsio_read_close.restype = None
+        lib.opsio_read_close.argtypes = [ctypes.c_void_p]
+        _rlib = lib
+        return lib
+    except (OSError, subprocess.CalledProcessError):
+        _rlib_failed = True
+        return None
+
+
+def reader_available() -> bool:
+    return _build_and_load_reader() is not None
+
+
+def read_json_dataset_native(path: str, keys) -> Optional[dict]:
+    """Parse the columnar dataset JSON with the native reader.
+
+    Returns a dict mapping each present key to:
+      - (rows, width) float32 array when every row has the same length,
+      - a list of float32 row arrays when ragged,
+      - a (rows,) float64 array for scalar columns (num_nodes, L).
+    Missing keys are omitted.  Returns None when the native reader is
+    unavailable or the file fails to parse (callers fall back to
+    ``json.load``).
+    """
+    lib = _build_and_load_reader()
+    if lib is None:
+        return None
+    h = lib.opsio_read_open(path.encode())
+    if not h:
+        return None
+    try:
+        out = {}
+        for key in keys:
+            kb = key.encode()
+            rows = lib.opsio_read_rows(h, kb)
+            if rows < 0:
+                continue
+            nvals = lib.opsio_read_nvals(h, kb)
+            vals = np.empty(nvals, np.float64)
+            offs = np.empty(rows + 1, np.int64)
+            r = lib.opsio_read_fill(
+                h, kb,
+                vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                offs.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+            )
+            if r != 0:
+                return None
+            if lib.opsio_read_is_scalar(h, kb):
+                out[key] = vals
+                continue
+            widths = np.diff(offs)
+            if rows and (widths == widths[0]).all():
+                out[key] = vals.astype(np.float32).reshape(rows, -1)
+            else:
+                v32 = vals.astype(np.float32)
+                out[key] = [
+                    v32[offs[i]:offs[i + 1]] for i in range(rows)
+                ]
+        return out
+    finally:
+        lib.opsio_read_close(h)
+
+
 def _fptr(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 

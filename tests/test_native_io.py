@@ -61,3 +61,59 @@ def test_native_writer_drops_invalid(tmp_path):
     with open(p) as f:
         nat = json.load(f)
     assert len(nat["I_values"]) == written
+
+
+def test_native_reader_matches_json_load(tmp_path):
+    """The C++ single-pass reader must reproduce json.load exactly
+    (values and row structure), including the ragged columns, and feed the
+    pipeline unchanged."""
+    from openpystruct_tpu.data import prepare_dataset
+    from openpystruct_tpu.datagen.io import read_json_dataset
+    from openpystruct_tpu.datagen.native import reader_available
+
+    if not reader_available():
+        pytest.skip("no native reader")
+
+    batch = generate_batch(jax.random.PRNGKey(3), 16, opt_cfg=FAST_OPT)
+    p = tmp_path / "ds.json"
+    write_json_dataset_native(batch, str(p))
+
+    nat = read_json_dataset(str(p), native=True)
+    ref = read_json_dataset(str(p), native=False)
+    assert set(ref.keys()) <= set(nat.keys())
+    for k in ref:
+        assert len(nat[k]) == len(ref[k]), k
+        for i in range(len(ref[k])):
+            np.testing.assert_allclose(
+                np.atleast_1d(np.asarray(nat[k][i], np.float64)),
+                np.atleast_1d(np.asarray(ref[k][i], np.float64)),
+                rtol=1e-6, err_msg=k,
+            )
+
+    # numpy-array columns are drop-in for the reference pipeline
+    ds = prepare_dataset(nat, n_cases=4)
+    ds_ref = prepare_dataset(ref, n_cases=4)
+    np.testing.assert_allclose(
+        np.asarray(ds.X_train), np.asarray(ds_ref.X_train), rtol=1e-6
+    )
+
+
+def test_native_reader_rejects_garbage(tmp_path):
+    from openpystruct_tpu.datagen.native import (
+        read_json_dataset_native,
+        reader_available,
+    )
+
+    if not reader_available():
+        pytest.skip("no native reader")
+    p = tmp_path / "bad.json"
+    p.write_text('{"I_values": [[1, 2,')
+    assert read_json_dataset_native(str(p), ("I_values",)) is None
+    p2 = tmp_path / "weird.json"
+    # unknown keys and non-array values are skipped, known ones parsed
+    p2.write_text(
+        '{"note": "hi", "num_nodes": [3, 3], "I_values": [[1.5, 2.5], [3, 4]]}'
+    )
+    out = read_json_dataset_native(str(p2), ("I_values", "num_nodes"))
+    np.testing.assert_allclose(out["I_values"], [[1.5, 2.5], [3.0, 4.0]])
+    np.testing.assert_allclose(out["num_nodes"], [3.0, 3.0])
