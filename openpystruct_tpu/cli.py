@@ -59,6 +59,15 @@ def _add_datagen(sub):
                    help="crash-safe mode: write per-batch .npz shards here "
                         "(a killed run resumes at the first missing shard) "
                         "and convert them to the JSON output at the end")
+    p.add_argument("--no-compact", action="store_true",
+                   help="disable converged-lane compaction (single "
+                        "while_loop; compaction is on by default for "
+                        "batches >= 2048/device)")
+    p.add_argument("--no-rescue", action="store_true",
+                   help="with --random-bridge: drop the ill-conditioned "
+                        "tail instead of re-optimizing it in float64 on "
+                        "the host CPU (faster, but the kept-sample "
+                        "distribution then diverges from the reference's)")
 
 
 def _add_train(sub):
@@ -212,6 +221,8 @@ def cmd_datagen(args):
             jax.random.PRNGKey(args.seed), args.num_samples, args.shard_dir,
             batch_size=args.batch_size, scen_cfg=scen, opt_cfg=opt_cfg,
             refine=args.refine, mesh=mesh, progress=True,
+            compact=False if args.no_compact else None,
+            rescue=False if args.no_rescue else None,
         )
         n = shards_to_json(paths, args.output)
     else:
@@ -219,6 +230,8 @@ def cmd_datagen(args):
             jax.random.PRNGKey(args.seed), args.num_samples, args.output,
             batch_size=args.batch_size, scen_cfg=scen, opt_cfg=opt_cfg,
             refine=args.refine, mesh=mesh, progress=True,
+            compact=False if args.no_compact else None,
+            rescue=False if args.no_rescue else None,
         )
     dt = time.time() - t0
     print("Data generation complete.")
