@@ -13,18 +13,53 @@ channel-summed weight (verified against torch) — i.e. it degenerates to
 ``(sum_i x_ft[b,i,m]) * (sum_j W[o,j,m])``; set ``degenerate_mixing=True``
 to replicate that behavior exactly.
 
-TPU note: the FFT axis is n_cases (6-8 points) — trivially small; the FFT
-runs in float32 (the reference disables AMP for exactly this layer,
-OpenPyStruct_FNO_MultiCase_Beta.py:617-618).
+TPU note: the FFT axis is n_cases (6-8 points) — trivially small, so the
+rfft/irfft pair is evaluated as real DFT *matmuls* (cos/sin matrices built
+at trace time).  This is both the MXU-native formulation at this size and
+a necessity: the TPU backend has no complex64 support, so
+``jnp.fft``/complex einsums would not lower at all.  The matmul form
+reproduces rfft -> truncate-to-modes -> mix -> zero-pad -> irfft exactly,
+including the c2r transform's ignore-the-imaginary-part semantics at the
+DC and Nyquist bins (their sine columns are identically zero).  Everything
+runs in float32 at HIGHEST precision (the reference disables AMP for
+exactly this layer, OpenPyStruct_FNO_MultiCase_Beta.py:617-618).
 """
 
 from __future__ import annotations
 
 from typing import Any
 
+import numpy as np
+
 import jax.numpy as jnp
 import jax
 from flax import linen as nn
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _dft_mats(n: int, modes: int):
+    """Real-DFT analysis/synthesis matrices for the truncated spectrum.
+
+    Forward (rfft bins 0..modes-1):  Xr = x @ cosF,  Xi = -(x @ sinF).
+    Inverse (zero-padded to n):      y  = Xr @ A + Xi @ B, with the
+    Hermitian-reflection weights c_m (1 at DC/Nyquist, 2 elsewhere) folded
+    in; B's DC/Nyquist rows are zero, which IS numpy/pocketfft's c2r
+    behavior of ignoring those bins' imaginary parts.
+    """
+    k = np.arange(n)[:, None]
+    m = np.arange(modes)[None, :]
+    ang = 2.0 * np.pi * k * m / n
+    cosF = np.cos(ang)                     # (n, modes)
+    sinF = np.sin(ang)
+    c = np.full(modes, 2.0)
+    c[0] = 1.0
+    if n % 2 == 0 and modes - 1 == n // 2:
+        c[n // 2] = 1.0
+    A = (c * cosF).T / n                   # (modes, n)
+    B = -(c * sinF).T / n                  # minus: y = Xr cos - Xi sin
+    return (jnp.asarray(cosF, jnp.float32), jnp.asarray(sinF, jnp.float32),
+            jnp.asarray(A, jnp.float32), jnp.asarray(B, jnp.float32))
 
 
 class SpectralConv1d(nn.Module):
@@ -38,8 +73,12 @@ class SpectralConv1d(nn.Module):
         """x: (B, in_channels, n) float32 -> (B, out_channels, n)."""
         B, inC, n = x.shape
         x = x.astype(jnp.float32)
-        x_ft = jnp.fft.rfft(x, n=n, axis=-1)  # (B, inC, n//2+1)
-        modes = min(self.modes, x_ft.shape[-1])
+        modes = min(self.modes, n // 2 + 1)
+        cosF, sinF, inv_c, inv_s = _dft_mats(n, modes)
+
+        # truncated real DFT: x_ft[b,i,m] = Xr + i*Xi
+        xr = jnp.einsum("bin,nm->bim", x, cosF, precision=_HI)
+        xi = -jnp.einsum("bin,nm->bim", x, sinF, precision=_HI)
 
         # scale * U(0,1) init, matching torch.rand scaling
         # (OpenPyStruct_FNO_MultiCase_Beta.py:349-356); float32 params
@@ -49,24 +88,27 @@ class SpectralConv1d(nn.Module):
         def w_init(key, shp):
             return jax.random.uniform(key, shp, jnp.float32, 0.0, scale)
 
-        w_r = self.param("weights_real", w_init, shape)
-        w_i = self.param("weights_imag", w_init, shape)
-        w = (w_r + 1j * w_i)[:, :, :modes].astype(jnp.complex64)
+        w_r = self.param("weights_real", w_init, shape)[:, :, :modes]
+        w_i = self.param("weights_imag", w_init, shape)[:, :, :modes]
 
-        xm = x_ft[:, :, :modes]
         if self.degenerate_mixing:
             # the reference's effective computation (see module docstring):
             # (sum_i x_ft)[b,m] * (sum_j W)[o,m] — torch labels the weight's
             # first axis as the output channel, so the sum runs over axis 1
-            out_m = xm.sum(axis=1)[:, None, :] * w.sum(axis=1)[None, :, :]
+            sr, si = xr.sum(axis=1), xi.sum(axis=1)          # (B, modes)
+            vr, vi = w_r.sum(axis=1), w_i.sum(axis=1)        # (O, modes)
+            out_r = sr[:, None, :] * vr[None] - si[:, None, :] * vi[None]
+            out_i = sr[:, None, :] * vi[None] + si[:, None, :] * vr[None]
         else:
-            out_m = jnp.einsum("bim,iom->bom", xm, w)
+            # complex per-mode channel mixing, in real arithmetic
+            out_r = (jnp.einsum("bim,iom->bom", xr, w_r, precision=_HI)
+                     - jnp.einsum("bim,iom->bom", xi, w_i, precision=_HI))
+            out_i = (jnp.einsum("bim,iom->bom", xr, w_i, precision=_HI)
+                     + jnp.einsum("bim,iom->bom", xi, w_r, precision=_HI))
 
-        out_ft = jnp.zeros(
-            (B, self.out_channels, x_ft.shape[-1]), jnp.complex64
-        )
-        out_ft = out_ft.at[:, :, :modes].set(out_m)
-        return jnp.fft.irfft(out_ft, n=n, axis=-1)
+        # inverse real DFT of the zero-padded spectrum
+        return (jnp.einsum("bom,mn->bon", out_r, inv_c, precision=_HI)
+                + jnp.einsum("bom,mn->bon", out_i, inv_s, precision=_HI))
 
 
 class FNOBlock1d(nn.Module):
