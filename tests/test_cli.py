@@ -57,15 +57,17 @@ def test_cli_datagen_flags(tmp_path):
     """--no-compact / --no-rescue / --watch surface: the datagen flags run
     end-to-end and train writes the live plot PNG."""
     ds = str(tmp_path / "ds.json")
+    # cold-cache subprocesses pay full jit compiles; give them headroom
     r = run_cli("datagen", "--num-samples", "32", "--batch-size", "32",
                 "--max-epochs", "10", "--refine", "0", "--output", ds,
-                "--no-compact", "--no-rescue", "--random-bridge")
+                "--no-compact", "--no-rescue", "--random-bridge",
+                timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
     data = json.load(open(ds))
     assert len(data["I_values"]) > 0
 
     png = str(tmp_path / "live.png")
     r = run_cli("train", "--model", "fnn", "--data", ds, "--epochs", "2",
-                "--epochs-per-sync", "1", "--watch", png)
+                "--epochs-per-sync", "1", "--watch", png, timeout=900)
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(png) and os.path.getsize(png) > 1000

@@ -161,8 +161,15 @@ def test_dataset_schema_roundtrip(tmp_path):
 
     p = tmp_path / "ds.json"
     write_json_dataset(data, str(p))
-    back = read_json_dataset(str(p))
-    assert back["I_values"] == data["I_values"]
+    # both readers roundtrip the values exactly (the native reader returns
+    # float32 numpy columns; the writer serializes with f32-roundtrip digits)
+    for native in (True, False):
+        back = read_json_dataset(str(p), native=native)
+        assert len(back["I_values"]) == len(data["I_values"])
+        for got, want in zip(back["I_values"], data["I_values"]):
+            np.testing.assert_array_equal(
+                np.asarray(got, np.float32), np.asarray(want, np.float32)
+            )
 
 
 def test_npz_shard_roundtrip(tmp_path):

@@ -169,3 +169,38 @@ def test_each_model_trains(name):
               decoupled_weight_decay=(name == "gnn"))
     assert np.isfinite(res.train_losses).all()
     assert res.train_losses[-1] < res.train_losses[0]
+
+
+def test_spectral_conv_matches_complex_fft_oracle():
+    """The TPU-safe real-DFT-matmul spectral conv must equal the complex
+    rfft -> truncate -> mix -> zero-pad -> irfft formulation (numpy oracle)
+    to float32 round-off — across even/odd lengths, Nyquist-inclusive mode
+    counts, over-long mode counts, and the degenerate-mixing quirk."""
+    import numpy as np
+
+    from openpystruct_tpu.models.fno import SpectralConv1d
+
+    rng = np.random.default_rng(0)
+    for n, modes, degen in [(6, 4, False), (6, 4, True), (8, 4, False),
+                            (7, 4, False), (9, 5, True), (6, 10, False)]:
+        B, C, O = 3, 5, 5
+        x = jnp.asarray(rng.normal(size=(B, C, n)).astype(np.float32))
+        mod = SpectralConv1d(C, O, modes, degenerate_mixing=degen)
+        params = mod.init(jax.random.PRNGKey(0), x)
+        y = np.asarray(mod.apply(params, x))
+
+        wr = np.asarray(params["params"]["weights_real"])
+        wi = np.asarray(params["params"]["weights_imag"])
+        m_eff = min(modes, n // 2 + 1)
+        w = (wr + 1j * wi)[:, :, :m_eff]
+        x_ft = np.fft.rfft(np.asarray(x), n=n, axis=-1)
+        xm = x_ft[:, :, :m_eff]
+        if degen:
+            out_m = xm.sum(axis=1)[:, None, :] * w.sum(axis=1)[None, :, :]
+        else:
+            out_m = np.einsum("bim,iom->bom", xm, w)
+        out_ft = np.zeros((B, O, x_ft.shape[-1]), np.complex128)
+        out_ft[:, :, :m_eff] = out_m
+        ref = np.fft.irfft(out_ft, n=n, axis=-1)
+        err = np.abs(y - ref).max() / (np.abs(ref).max() + 1e-12)
+        assert err < 1e-5, (n, modes, degen, err)
