@@ -21,8 +21,9 @@ batch.  The **float64 rescue** (``rescue=True``, the default whenever
 ``random_bridge`` is on) closes that distribution gap: pivot-rejected lanes
 are re-optimized from scratch in float64 on the host CPU — exactly the
 arithmetic the reference runs for *every* sample — and merged back, so the
-kept-sample support matches the reference's (drop rate ~0%).  The TPU keeps
-the >97% fast path; only the conditioning tail pays the slow f64 path.
+kept-sample support matches the reference's (drop rate ~0%).  The rescued
+fraction pays the slow host path, so random-bridge throughput is dominated
+by it (BENCHMARKS.md); fixed-bridge batches never trigger it.
 """
 
 from __future__ import annotations

@@ -278,21 +278,24 @@ class JsonStreamWriter:
 
     def append(self, fields: dict) -> int:
         """Render + append one batch; returns valid samples appended."""
+        if self._lib is None:
+            # the Python fallback reads the original fields dict directly —
+            # don't materialize nine contiguous copies it never uses
+            r = self._py_append(fields)
+            self.written += r
+            return r
         arrs = _contig_fields(fields)
         node_x = arrs[0]
         B, n = node_x.shape
-        if self._lib is not None:
-            r = self._lib.opsio_append_json_chunk(
-                self._dir.encode(), B, n,
-                _fptr(arrs[0]), _u8ptr(arrs[1]), _fptr(arrs[2]),
-                _fptr(arrs[3]), _fptr(arrs[4]), _fptr(arrs[5]),
-                _fptr(arrs[6]), _fptr(arrs[7]), _u8ptr(arrs[8]),
-                1 if self.written else 0, self.num_threads,
-            )
-            if r < 0:
-                raise RuntimeError(f"native chunk append failed: {r}")
-        else:
-            r = self._py_append(fields)
+        r = self._lib.opsio_append_json_chunk(
+            self._dir.encode(), B, n,
+            _fptr(arrs[0]), _u8ptr(arrs[1]), _fptr(arrs[2]),
+            _fptr(arrs[3]), _fptr(arrs[4]), _fptr(arrs[5]),
+            _fptr(arrs[6]), _fptr(arrs[7]), _u8ptr(arrs[8]),
+            1 if self.written else 0, self.num_threads,
+        )
+        if r < 0:
+            raise RuntimeError(f"native chunk append failed: {r}")
         self.written += r
         return r
 

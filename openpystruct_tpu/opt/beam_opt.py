@@ -349,11 +349,14 @@ def _lane_state_init(I0):
         best=jnp.full((B,), jnp.inf, dtype),
         no_improve=jnp.zeros((B,), jnp.int32),
         done=jnp.zeros((B,), bool),
+        # NaN, not zero: a lane that runs zero epochs (max_epochs=0) must
+        # report "never evaluated", not a plausible-looking zero loss; any
+        # lane that takes even one step overwrites these
         comps=LossComponents(
-            total=jnp.zeros((B,), dtype),
-            primary=jnp.zeros((B,), dtype),
-            bending_energy=jnp.zeros((B,), dtype),
-            shear_energy=jnp.zeros((B,), dtype),
+            total=jnp.full((B,), jnp.nan, dtype),
+            primary=jnp.full((B,), jnp.nan, dtype),
+            bending_energy=jnp.full((B,), jnp.nan, dtype),
+            shear_energy=jnp.full((B,), jnp.nan, dtype),
         ),
     )
 

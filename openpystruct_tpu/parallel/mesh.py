@@ -68,8 +68,19 @@ def initialize_multihost(**kwargs) -> None:
 
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError as e:
-        if "already initialized" in str(e).lower():
+    except (RuntimeError, ValueError) as e:
+        msg = str(e).lower()
+        if "already initialized" in msg:
+            return
+        if "coordinator_address" in msg:
+            # no cluster environment (jax raises ValueError when neither the
+            # args nor the env provide a coordinator): stay single-process,
+            # but say so — on a real multi-host job this warning in the logs
+            # is the breadcrumb for a misconfigured launcher
+            logging.getLogger(__name__).warning(
+                "initialize_multihost: no coordinator configured; "
+                "continuing single-process (%s)", e
+            )
             return
         logging.getLogger(__name__).error(
             "jax.distributed.initialize failed: %s", e

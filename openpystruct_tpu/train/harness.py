@@ -407,23 +407,27 @@ def fit(
         va = np.asarray(va)
         for i in range(chunk):
             epoch = epoch0 + 1 + i
+            # every epoch of the chunk RAN on device (the stop decision is
+            # made at sync, up to epochs_per_sync-1 epochs late — see the
+            # docstring), so record them all: epoch0 == len(train_hist)
+            # stays true for checkpoints and resume numbering
             train_hist.append(float(tr[i]))
             val_hist.append(float(va[i]))
             if metrics is not None:
                 metrics.log(step=epoch, train_loss=float(tr[i]),
                             val_loss=float(va[i]))
-            if va[i] < best_val:
-                best_val = float(va[i])
-                best_epoch = epoch
-                epochs_no_improve = 0
-            else:
-                epochs_no_improve += 1
-                if epochs_no_improve >= cfg.patience:
-                    stopped = True
-                    if verbose:
-                        print(f"Early stopping at epoch {epoch}")
-                    break
-            if verbose:
+            if not stopped:
+                if va[i] < best_val:
+                    best_val = float(va[i])
+                    best_epoch = epoch
+                    epochs_no_improve = 0
+                else:
+                    epochs_no_improve += 1
+                    if epochs_no_improve >= cfg.patience:
+                        stopped = True
+                        if verbose:
+                            print(f"Early stopping at epoch {epoch}")
+            if verbose and not stopped:
                 print(
                     f"Epoch {epoch}/{cfg.num_epochs} | "
                     f"Train Loss={tr[i]:.6f}, Val Loss={va[i]:.6f}"
@@ -462,29 +466,37 @@ def predict(model, params, X, scaler_Y=None, rng=None,
 
     ``batch_size`` chunks the forward pass so arbitrarily large sets don't
     have to fit activations on-device at once; the final ragged chunk runs
-    at its own shape (one extra compile at most)."""
-    rngs = None
+    at its own shape (one extra compile at most).  Each chunk draws fresh
+    model rngs (folded from ``rng``) — reusing one key across chunks would
+    correlate the stochastic models' noise per chunk and make results
+    depend on ``batch_size``."""
     if model_rng_keys:
         rng = jax.random.PRNGKey(0) if rng is None else rng
-        keys = jax.random.split(rng, len(model_rng_keys))
-        rngs = dict(zip(model_rng_keys, keys))
     variables = {"params": params["model"]}
     if batch_stats is not None:
         variables["batch_stats"] = batch_stats
     X = jnp.asarray(X, jnp.float32)
 
-    def apply(Xb):
+    def make_rngs(chunk_idx):
+        if not model_rng_keys:
+            return None
+        keys = jax.random.split(
+            jax.random.fold_in(rng, chunk_idx), len(model_rng_keys)
+        )
+        return dict(zip(model_rng_keys, keys))
+
+    def apply(Xb, rngs):
         return model.apply(variables, Xb, train=False, rngs=rngs)
 
     if batch_size is None or X.shape[0] <= batch_size:
-        preds = np.asarray(apply(X))
+        preds = np.asarray(apply(X, make_rngs(0)))
     else:
         apply_j = jax.jit(apply)
         chunks = [
-            np.asarray(apply_j(X[i:i + batch_size]))
+            np.asarray(apply_j(X[i:i + batch_size], make_rngs(ci)))
             if X.shape[0] - i >= batch_size
-            else np.asarray(apply(X[i:]))
-            for i in range(0, X.shape[0], batch_size)
+            else np.asarray(apply(X[i:], make_rngs(ci)))
+            for ci, i in enumerate(range(0, X.shape[0], batch_size))
         ]
         preds = np.concatenate(chunks, axis=0)
     if scaler_Y is not None:
