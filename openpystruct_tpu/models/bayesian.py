@@ -261,6 +261,27 @@ class BayesianTransformerDiffusionModel(nn.Module):
         return out.astype(jnp.float32)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _mc_forward(model):
+    """Jitted vmapped stochastic forward for one (hashable) flax module."""
+
+    @jax.jit
+    def run(variables, x, keys):
+        def one(key):
+            kb, kd, kdo = jax.random.split(key, 3)
+            return model.apply(
+                variables, x, train=False,
+                rngs={"bayes": kb, "diffusion": kd, "dropout": kdo},
+            )
+
+        return jax.vmap(one)(keys)
+
+    return run
+
+
 def mc_output_stats(model, variables, x, n_samples: int = 50, rng=None,
                     scaler_Y=None):
     """Monte-Carlo predictive mean/std over stochastic forwards — the Meta
@@ -276,14 +297,10 @@ def mc_output_stats(model, variables, x, n_samples: int = 50, rng=None,
         rng = jax.random.PRNGKey(0)
     keys = jax.random.split(rng, n_samples)
 
-    def one(key):
-        kb, kd, kdo = jax.random.split(key, 3)
-        return model.apply(
-            variables, x, train=False,
-            rngs={"bayes": kb, "diffusion": kd, "dropout": kdo},
-        )
-
-    preds = jax.jit(jax.vmap(one))(keys)  # (n_samples, B, n_elem)
+    # (n_samples, B, n_elem); the jitted vmap is cached per model — a fresh
+    # jax.jit wrapper per call would recompile every time (its compile
+    # cache lives on the wrapper object)
+    preds = _mc_forward(model)(variables, x, keys)
     mean = np.asarray(preds.mean(axis=0))
     std = np.asarray(preds.std(axis=0))
     if scaler_Y is not None:
