@@ -14,7 +14,9 @@ ENV = {
 }
 
 
-def run_cli(*args, timeout=420):
+def run_cli(*args, timeout=900):
+    # each CLI subprocess pays full cold jit compiles; on a loaded 1-core
+    # host the datagen/train invocations are marginal against 420 s
     return subprocess.run(
         [sys.executable, "-m", "openpystruct_tpu", *args],
         capture_output=True, text=True, timeout=timeout, env=ENV,
