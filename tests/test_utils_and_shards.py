@@ -62,3 +62,41 @@ def test_profile_trace_smoke(tmp_path):
     # a trace directory with at least one event file appears
     found = list(os.walk(str(tmp_path / "trace")))
     assert any(files for _, _, files in found)
+
+def test_initialize_multihost_single_process_noop():
+    """On a host with no cluster environment, initialize_multihost must warn
+    and stay single-process — not crash (jax raises ValueError for the
+    missing coordinator) and not swallow the condition silently.  Needs a
+    fresh interpreter: jax.distributed.initialize is only legal before the
+    XLA backends come up (calling it later raises, by design)."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import logging; logging.basicConfig(level=logging.WARNING); "
+        "from openpystruct_tpu.parallel import initialize_multihost; "
+        "initialize_multihost(); print('SINGLE_PROCESS_OK')"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=300, env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "SINGLE_PROCESS_OK" in r.stdout
+    assert "coordinator" in (r.stderr + r.stdout).lower()
+
+
+def test_mc_forward_jit_cache_is_shared():
+    """mc_output_stats must reuse one jitted wrapper per model — a fresh
+    jax.jit per call recompiles the vmapped forward every time (measured
+    27x slower on the TPU)."""
+    from openpystruct_tpu.families import build_family
+    from openpystruct_tpu.models.bayesian import _mc_forward
+
+    model, _, _ = build_family("bnn-meta", feat_dim=24)
+    model2, _, _ = build_family("bnn-meta", feat_dim=24)
+    assert _mc_forward(model) is _mc_forward(model)
+    # equal (hashable) module configs share the cache entry too
+    assert _mc_forward(model) is _mc_forward(model2)
