@@ -175,7 +175,8 @@ struct Parser {
       if (p < end && *p == '[') {
         Column col;
         if (!parse_column(col)) return false;
-        doc.cols.emplace(key, std::move(col));
+        // last occurrence wins, matching Python json.load on duplicate keys
+        doc.cols[key] = std::move(col);
       } else {
         skip_value();
       }

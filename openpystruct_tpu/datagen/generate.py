@@ -222,6 +222,17 @@ def _rescue_batch(
 ) -> DatagenBatch:
     """Re-optimize the pivot-rejected lanes of ``batch`` in float64 on the
     host CPU and merge the results back (see module docstring)."""
+    if jax.process_count() > 1:
+        # the gather below fetches the whole batch to this host, which
+        # raises on non-addressable shards of a multi-host array — degrade
+        # to drop-the-tail instead of crashing the datagen job
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "float64 rescue is single-host only; skipping under "
+            "multi-host (pivot-rejected lanes stay dropped)"
+        )
+        return batch
     valid = np.asarray(batch.valid)
     bad = np.flatnonzero(~valid)
     if bad.size == 0:

@@ -110,6 +110,11 @@ def read_json_dataset(path: str, native: bool = True) -> dict:
     Python lists — ~10x faster and far smaller than ``json.load`` on
     multi-GB files, and drop-in for the pipeline (which only iterates rows
     and calls ``len``).  Falls back to ``json.load`` transparently.
+
+    Known native/json.load divergences on *foreign* files (files from the
+    bundled writer are unaffected): scalar columns (num_nodes, L) come back
+    float64 where json.load yields Python ints, and string escapes inside
+    keys are not decoded (the schema keys contain none).
     """
     data = None
     if native:

@@ -149,7 +149,8 @@ def fit(
     """
     if rng is None:
         rng = jax.random.PRNGKey(cfg.seed)
-    if isinstance(live_plot, str):
+    owns_live_plot = isinstance(live_plot, str)
+    if owns_live_plot:
         from openpystruct_tpu.viz import LiveLossPlot
 
         live_plot = LiveLossPlot(live_plot)
@@ -442,6 +443,11 @@ def fit(
             or epoch0 >= cfg.num_epochs
         ):
             _save_full_state()
+
+    if owns_live_plot:
+        # fit created the figure, so fit releases it (one leaked matplotlib
+        # figure per call otherwise; matplotlib warns after 20)
+        live_plot.close()
 
     _, best_params_dev, best_stats_dev = best
     best_params = jax.device_get(best_params_dev)

@@ -113,9 +113,11 @@ class LiveLossPlot:
             tmp = f"{self.path}.tmp"
             self._fig.savefig(tmp, dpi=80, format=fmt)
             os.replace(tmp, self.path)
-        else:
+        elif self._plt.isinteractive():
             self._fig.canvas.draw_idle()
             self._plt.pause(0.001)
+        # path=None on a non-interactive backend: nowhere useful to draw —
+        # keep the histories flowing but skip the (warning-spewing) pause
 
     def close(self):
         self._plt.close(self._fig)

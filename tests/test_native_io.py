@@ -117,3 +117,19 @@ def test_native_reader_rejects_garbage(tmp_path):
     out = read_json_dataset_native(str(p2), ("I_values", "num_nodes"))
     np.testing.assert_allclose(out["I_values"], [[1.5, 2.5], [3.0, 4.0]])
     np.testing.assert_allclose(out["num_nodes"], [3.0, 3.0])
+
+
+def test_native_reader_duplicate_keys_last_wins(tmp_path):
+    from openpystruct_tpu.datagen.native import (
+        read_json_dataset_native,
+        reader_available,
+    )
+
+    if not reader_available():
+        pytest.skip("no native reader")
+    p = tmp_path / "dup.json"
+    p.write_text('{"I_values": [[1.0]], "I_values": [[2.0, 3.0]]}')
+    with open(p) as f:
+        ref = json.load(f)
+    out = read_json_dataset_native(str(p), ("I_values",))
+    np.testing.assert_allclose(out["I_values"], ref["I_values"])
