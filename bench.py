@@ -1,14 +1,27 @@
-"""Headline benchmark: batched beam FEA solves/sec on the accelerator.
+"""Driver benchmark: all three BASELINE.json metrics on the accelerator.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per metric — {"metric", "value", "unit",
+"vs_baseline"} — in this order:
 
-Baseline (the reference's compute pattern): the reference performs one
-serial banded direct solve per optimizer epoch per sample through OpenSeesPy
-on CPU (OpenPyStruct_BeamOpt.py:122-126,199-207).  Since OpenSeesPy is not
-installable here, the baseline is measured as a *generous* stand-in: a
-serial CPU loop of scipy banded-Cholesky solves of the identical 303-DOF
-system — ignoring the ~500 per-epoch Python<->C++ crossings the reference
-also pays, so the reported speedup is a lower bound.
+  1. BeamOpt iters/sec        (fused whole-Adam-iteration kernel, B=8192)
+  2. surrogate samples/sec/chip (Transformer-Diffusion train step, batch
+     512, the reference's headline family)
+  3. batched beam FEA solves/sec (the headline metric, printed LAST)
+
+Baselines (the reference's compute patterns, re-measured on this host's
+CPU as BASELINE.md prescribes):
+- FEA solves + BeamOpt iters: the reference performs one serial banded
+  direct solve per optimizer epoch per sample through OpenSeesPy on CPU
+  (OpenPyStruct_BeamOpt.py:122-126,199-207).  Since OpenSeesPy is not
+  installable here, the stand-in is *generous*: a serial CPU loop of scipy
+  banded-Cholesky solves of the identical 303-DOF system — ignoring the
+  ~500 per-epoch Python<->C++ crossings (and the torch loss/step work, for
+  the iters metric) the reference also pays, so the reported speedups are
+  lower bounds.
+- surrogate samples/sec: a PyTorch CPU reimplementation of the reference's
+  TFD training step (diffusion -> CLS -> posenc -> 2-layer
+  TransformerEncoder -> MLP head, Adam, batch 512 — the DataLoader loop of
+  OpenPyStruct_TransformerDiffusionModule_MultiCase.py:480-575).
 """
 
 import json
@@ -120,6 +133,218 @@ def device_rate(sc, I, batch=8192, reps=10, refine=1):
     return best
 
 
+def beamopt_iters_rate(sc, I, batch=8192, iters=30, refine=1):
+    """Batched whole-Adam-iteration rate (lane-iterations/sec): the fused
+    opt-step kernel on TPU (solve + loss + gradient + Adam + clamp per
+    launch), the split XLA path elsewhere — scanned ``iters`` epochs in one
+    jitted program, exactly the datagen hot loop."""
+    import jax
+    import jax.numpy as jnp
+
+    from openpystruct_tpu.config import BeamConfig, DATAGEN_OPT
+    from openpystruct_tpu.opt.beam_opt import _make_kernel_step
+
+    sc32 = jax.tree.map(
+        lambda x: x.astype(jnp.float32)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        sc,
+    )
+    sc_b = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape),
+                        sc32)
+    beam_cfg = BeamConfig()
+    on_tpu = jax.default_backend() == "tpu"
+    step = _make_kernel_step(
+        sc_b, beam_cfg, DATAGEN_OPT, refine, use_pallas=on_tpu,
+        fused=on_tpu, interpret=False, dtype=jnp.float32,
+    )
+
+    @jax.jit
+    def run(I0):
+        def body(carry, e):
+            I, mu, nu = carry
+            I, mu, nu, comps = step(I, mu, nu, e)
+            return (I, mu, nu), comps.total
+
+        (I_f, _, _), tot = jax.lax.scan(
+            body, (I0, jnp.zeros_like(I0), jnp.zeros_like(I0)),
+            jnp.arange(iters),
+        )
+        return I_f, tot
+
+    key = jax.random.PRNGKey(0)
+    Ib = (
+        jnp.exp(jax.random.normal(key, (batch, len(I)), jnp.float32) * 0.3)
+        * 0.5
+    )
+    out = run(Ib)
+    float(out[0].sum())   # force completion (tunnel gotcha)
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run(Ib)
+        float(out[0].sum())
+        dt = time.perf_counter() - t0
+        best = max(best, batch * iters / dt)
+    return best
+
+
+def tfd_device_rate(batch=512, steps=16, feat_dim=120, n_cases=6,
+                    epochs=10):
+    """Transformer-Diffusion training throughput (samples/sec/chip): the
+    harness's exact per-epoch program — a jitted lax.scan of train steps
+    (TrainableL1L2 + alpha regularizer, clip 1.0, Adam, exp-decay lr) at
+    the reference batch size 512 (OpenPyStruct_TransformerDiffusionModule_
+    MultiCase.py:480-575)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from openpystruct_tpu.families import FAMILIES, build_family
+    from openpystruct_tpu.models.losses import trainable_l1l2_loss
+    from openpystruct_tpu.train.harness import _make_optimizer
+
+    model, spec, _ = build_family("tfd", feat_dim=feat_dim)
+    cfg = spec.train
+    rng = jax.random.PRNGKey(0)
+    X = jax.random.normal(rng, (steps, batch, n_cases, feat_dim),
+                          jnp.float32)
+    Y = jax.random.normal(jax.random.fold_in(rng, 1), (steps, batch, 100),
+                          jnp.float32)
+
+    k_init, k_d, k_diff = jax.random.split(jax.random.fold_in(rng, 2), 3)
+    variables = model.init(
+        {"params": k_init, "dropout": k_d, "diffusion": k_diff},
+        X[0], train=True,
+    )
+    params = {"model": variables["params"],
+              "alpha": jnp.asarray(cfg.initial_alpha, jnp.float32)}
+    tx = _make_optimizer(cfg, steps, train_alpha=True, decoupled=False)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, Xb, Yb, rngs):
+        preds = model.apply({"params": p["model"]}, Xb, train=True,
+                            rngs=rngs)
+        loss = trainable_l1l2_loss(p["alpha"], preds, Yb, -3.0, 3.0,
+                                   cfg.box_constraint_coeff)
+        return loss + (cfg.initial_alpha - p["alpha"]) ** 2
+
+    @jax.jit
+    def epoch(params, opt_state, rng):
+        def step_fn(carry, xs):
+            p, st, rng = carry
+            Xb, Yb = xs
+            rng, kd, kf = jax.random.split(rng, 3)
+            loss, g = jax.value_and_grad(loss_fn)(
+                p, Xb, Yb, {"dropout": kd, "diffusion": kf}
+            )
+            updates, st = tx.update(g, st, p)
+            return (optax.apply_updates(p, updates), st, rng), loss
+
+        (params, opt_state, _), losses = jax.lax.scan(
+            step_fn, (params, opt_state, rng), (X, Y)
+        )
+        return params, opt_state, jnp.mean(losses)
+
+    params, opt_state, l0 = epoch(params, opt_state, rng)
+    float(l0)
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        p, st, l = params, opt_state, None
+        for e in range(epochs):
+            p, st, l = epoch(p, st, jax.random.fold_in(rng, e))
+        float(l)
+        dt = time.perf_counter() - t0
+        best = max(best, epochs * steps * batch / dt)
+    return best
+
+
+def tfd_torch_baseline_rate(batch=512, feat_dim=120, n_cases=6,
+                            timed_steps=4):
+    """The reference's TFD training step re-measured on this host's CPU:
+    torch diffusion module + CLS + sin/cos posenc + 2-layer
+    TransformerEncoder(d_model=feat_dim, 8 heads, ff 256) + MLP head,
+    Adam, batch 512 (OpenPyStruct_TransformerDiffusionModule_MultiCase.py:
+    383-575)."""
+    import math
+
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(0)
+
+    class Diffusion(nn.Module):
+        def __init__(self, dim, hidden=256, T=512):
+            super().__init__()
+            self.T = T
+            beta = torch.linspace(1e-12, 1e-5, T)
+            alpha_bar = torch.cumprod(1.0 - beta, dim=0)
+            self.register_buffer("ab", alpha_bar)
+            self.net = nn.Sequential(
+                nn.Linear(dim, hidden), nn.ReLU(), nn.Linear(hidden, dim)
+            )
+
+        def forward(self, x):
+            B, Nc, F = x.shape
+            t = torch.randint(0, self.T, (B, Nc))
+            ab = self.ab[t].unsqueeze(-1)
+            eps = torch.randn_like(x)
+            x_t = torch.sqrt(ab) * x + torch.sqrt(1 - ab) * eps
+            eps_hat = self.net(x_t)
+            return (x_t - torch.sqrt(1 - ab) * eps_hat) / torch.sqrt(ab)
+
+    class TorchTFD(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.diff = Diffusion(feat_dim)
+            self.cls = nn.Parameter(torch.zeros(1, 1, feat_dim))
+            pe = torch.zeros(1 + n_cases, feat_dim)
+            pos = torch.arange(1 + n_cases).float().unsqueeze(1)
+            div = torch.exp(torch.arange(0, feat_dim, 2).float()
+                            * (-math.log(10000.0) / feat_dim))
+            pe[:, 0::2] = torch.sin(pos * div)
+            pe[:, 1::2] = torch.cos(pos * div[: feat_dim // 2])
+            self.register_buffer("pe", pe)
+            layer = nn.TransformerEncoderLayer(
+                d_model=feat_dim, nhead=8, dim_feedforward=256,
+                dropout=0.1, batch_first=True,
+            )
+            self.enc = nn.TransformerEncoder(layer, num_layers=2)
+            self.head = nn.Sequential(
+                nn.Linear(feat_dim, 256), nn.ReLU(), nn.Linear(256, 100)
+            )
+
+        def forward(self, x):
+            x = self.diff(x)
+            x = torch.cat([self.cls.expand(x.shape[0], 1, -1), x], dim=1)
+            x = x + self.pe
+            return self.head(self.enc(x)[:, 0])
+
+    model = TorchTFD()
+    optim = torch.optim.Adam(model.parameters(), lr=3e-3,
+                             weight_decay=1e-4)
+    X = torch.randn(batch, n_cases, feat_dim)
+    Y = torch.randn(batch, 100)
+    alpha = 0.5
+
+    def step():
+        optim.zero_grad()
+        preds = model(X)
+        loss = (alpha * (preds - Y).abs().mean()
+                + (1 - alpha) * ((preds - Y) ** 2).mean())
+        loss.backward()
+        nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+        optim.step()
+
+    step()  # warm-up
+    t0 = time.perf_counter()
+    for _ in range(timed_steps):
+        step()
+    dt = time.perf_counter() - t0
+    return timed_steps * batch / dt
+
+
 def main():
     import jax
 
@@ -127,6 +352,38 @@ def main():
     sc, diag, upper, f = build_system(I)
     base = max(cpu_baseline_rate(diag, upper, f, iters=100)
                for _ in range(3))
+
+    opt_rate = beamopt_iters_rate(sc, I)
+    # per-epoch CPU stand-in cost = one banded solve (generous: ignores the
+    # reference's torch loss/step work and the ops.* crossings)
+    print(
+        json.dumps(
+            {
+                "metric": "BeamOpt iters/sec",
+                "value": round(opt_rate, 1),
+                "unit": "iters/sec",
+                "vs_baseline": round(opt_rate / base, 2),
+            }
+        )
+    )
+
+    tfd_dev = tfd_device_rate()
+    tfd_base = tfd_torch_baseline_rate()
+    print(
+        f"tfd dev={tfd_dev:.0f}/s torch-cpu={tfd_base:.0f}/s",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "surrogate samples/sec/chip",
+                "value": round(tfd_dev, 1),
+                "unit": "samples/sec",
+                "vs_baseline": round(tfd_dev / tfd_base, 2),
+            }
+        )
+    )
+
     dev = device_rate(sc, I, reps=30)
     print(
         f"device={jax.devices()[0]} base={base:.0f}/s dev={dev:.0f}/s",
