@@ -14,10 +14,13 @@ TPU-first mechanics: each epoch is ONE jitted program — a ``lax.scan`` over
 batches — so there is no per-batch Python/dispatch overhead; with a mesh the
 batch axis is sharded and XLA inserts the gradient all-reduce over ICI.
 
-Divergence from the reference (intentional): partial trailing batches are
-dropped (static shapes; the reference's DataLoader keeps them), and the
-loss alpha is actually trained by default — see models/losses.py for why the
-reference never updates it; pass ``train_alpha=False`` to freeze it.
+Divergence from the reference (intentional): partial trailing TRAIN batches
+are dropped (static shapes; the reference's DataLoader keeps them) — the
+validation set is evaluated in full, with the ragged remainder as one extra
+batch at its own static shape, so early stopping sees every val sample like
+the reference's val loop.  The loss alpha is actually trained by default —
+see models/losses.py for why the reference never updates it; pass
+``train_alpha=False`` to freeze it.
 """
 
 from __future__ import annotations
@@ -208,6 +211,14 @@ def fit(
     Yv = Y_val[: val_steps * val_batch].reshape(
         val_steps, val_batch, *Y_val.shape[1:]
     )
+    # The ragged val remainder is evaluated as one extra batch at its own
+    # (static) shape, so the early-stop metric sees EVERY val sample — the
+    # reference's DataLoader keeps the partial batch and its val loss is
+    # the mean over all batches including it
+    # (OpenPyStruct_FNN_MultiCase.py:564-571).
+    Xv_tail = X_val[val_steps * val_batch:]
+    Yv_tail = Y_val[val_steps * val_batch:]
+    has_tail = Xv_tail.shape[0] > 0
 
     def compute_loss(params, batch_stats, Xb, Yb, rngs, train):
         variables = {"params": params["model"]}
@@ -258,7 +269,7 @@ def fit(
         (state, _), losses = jax.lax.scan(step_fn, (state, rng), (Xe, Ye))
         return state, jnp.mean(losses)
 
-    def val_loss_fn(state, rng, Xv, Yv):
+    def val_loss_fn(state, rng, Xv, Yv, Xvt, Yvt):
         def one(carry, xs):
             rng = carry
             Xb, Yb = xs
@@ -269,10 +280,20 @@ def fit(
             )
             return rng, loss
 
-        _, losses = jax.lax.scan(one, rng, (Xv, Yv))
-        return jnp.mean(losses)
+        rng, losses = jax.lax.scan(one, rng, (Xv, Yv))
+        if not has_tail:
+            return jnp.mean(losses)
+        # one extra batch at the remainder's own static shape (compiled
+        # once); mean over all batches = the reference's val metric
+        rng, *kms = jax.random.split(rng, 1 + max(len(model_rng_keys), 1))
+        tail_loss, _ = compute_loss(
+            state.params, state.batch_stats, Xvt, Yvt,
+            dict(zip(model_rng_keys, kms)), False,
+        )
+        return (jnp.sum(losses) + tail_loss) / (val_steps + 1)
 
-    def run_epochs(state, best, rng, epoch0, n_epochs, X_tr, Y_tr, Xv, Yv):
+    def run_epochs(state, best, rng, epoch0, n_epochs, X_tr, Y_tr, Xv, Yv,
+                   Xvt, Yvt):
         """Run ``n_epochs`` epochs entirely on-device (one jitted scan):
         shuffle, noisy train steps, per-epoch val loss, and best-checkpoint
         selection all stay on the device — the host only syncs once per
@@ -295,7 +316,7 @@ def fit(
             Xe = X_tr[perm].reshape(steps, batch, *X_tr.shape[1:])
             Ye = Y_tr[perm].reshape(steps, batch, *Y_tr.shape[1:])
             st, tr_loss = train_epoch(st, Xe, Ye, ke, noise)
-            va_loss = val_loss_fn(st, kv, Xv, Yv)
+            va_loss = val_loss_fn(st, kv, Xv, Yv, Xvt, Yvt)
 
             best_val, best_params, best_stats = best
             improved = va_loss < best_val
@@ -329,6 +350,9 @@ def fit(
         Y_train = jax.device_put(Y_train, data_sh)
         Xv = jax.device_put(Xv, val_sh)
         Yv = jax.device_put(Yv, val_sh)
+        # the ragged tail need not divide the mesh; it is small — replicate
+        Xv_tail = jax.device_put(Xv_tail, rep)
+        Yv_tail = jax.device_put(Yv_tail, rep)
         state = jax.device_put(state, rep)
 
     best = (
@@ -402,7 +426,8 @@ def fit(
         chunk = min(epochs_per_sync, cfg.num_epochs - epoch0)
         rng, sub = jax.random.split(rng)
         state, best, tr, va = run_epochs_j(
-            state, best, sub, epoch0, chunk, X_train, Y_train, Xv, Yv
+            state, best, sub, epoch0, chunk, X_train, Y_train, Xv, Yv,
+            Xv_tail, Yv_tail,
         )
         tr = np.asarray(tr)
         va = np.asarray(va)

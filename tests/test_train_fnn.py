@@ -104,3 +104,56 @@ def test_checkpoint_roundtrip(tmp_path):
     save_checkpoint(p, tree)
     back = load_checkpoint(p, target=tree)
     np.testing.assert_allclose(back["model"]["w"], tree["model"]["w"])
+
+
+def test_full_val_early_stop_metric_ragged():
+    """The early-stop val metric must see EVERY val sample: with a ragged
+    val size (n_val not a multiple of batch), fit's recorded val losses
+    equal a by-hand full-set evaluation (mean over all batches including
+    the ragged tail, the reference DataLoader semantics) — and differ from
+    the truncated evaluation round 2 performed."""
+    from openpystruct_tpu.models.losses import trainable_l1l2_loss
+
+    rng = np.random.default_rng(0)
+    X_tr = rng.normal(size=(32, 10)).astype(np.float32)
+    Y_tr = (X_tr[:, :3] * 2.0).astype(np.float32)
+    # 11 val samples, batch 4 -> 2 full batches + tail of 3
+    X_val = rng.normal(size=(11, 10)).astype(np.float32)
+    Y_val = (X_val[:, :3] * 2.0).astype(np.float32)
+
+    cfg = TrainConfig(num_epochs=1, batch_size=4, patience=10, sigma_0=0.0)
+    model = FNNWithResidual(
+        hidden_dim=16, num_blocks=1, output_dim=3, dropout_rate=0.0,
+        dtype=jnp.float32,
+    )
+    res = fit(model, X_tr, Y_tr, X_val, Y_val, cfg,
+              rng=jax.random.PRNGKey(3))
+
+    # by-hand full-set evaluation at the final params (num_epochs=1 and
+    # patience>epochs => final state == the state val was computed at)
+    params = res.state.params
+    min_c, max_c = float(Y_tr.min()), float(Y_tr.max())
+
+    def batch_loss(Xb, Yb):
+        preds = model.apply({"params": params["model"]},
+                            jnp.asarray(Xb), train=False)
+        loss = trainable_l1l2_loss(
+            params["alpha"], preds, jnp.asarray(Yb), min_c, max_c,
+            cfg.box_constraint_coeff,
+        )
+        return float(loss + (cfg.initial_alpha - params["alpha"]) ** 2)
+
+    losses = [batch_loss(X_val[i:i + 4], Y_val[i:i + 4])
+              for i in range(0, 11, 4)]
+    assert len(losses) == 3  # 4 + 4 + 3
+    full = sum(losses) / len(losses)
+    truncated = sum(losses[:2]) / 2
+    got = float(res.val_losses[-1])
+    assert got == pytest_approx(full), (got, full)
+    assert abs(got - truncated) > 1e-9, "val metric still truncates"
+
+
+def pytest_approx(x):
+    import pytest
+
+    return pytest.approx(x, rel=1e-5)
