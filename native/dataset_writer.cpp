@@ -46,7 +46,34 @@ struct Batch {
   const float* defl;      // B*n
   const float* rot;       // B*n
   const uint8_t* valid;   // B
+  // optional draw-order ranks (B*n int32; >= n where unselected); when
+  // given, roller/force lists are emitted in the reference's random draw
+  // order (MultiCore.py:137-162) instead of ascending node order
+  const int32_t* roller_order = nullptr;
+  const int32_t* force_order = nullptr;
 };
+
+// Selected indices for one sample, ascending or by draw-order rank.
+template <class Pred>
+inline int ordered_idx(int n, const int32_t* order, Pred pred,
+                       std::vector<int>& idx) {
+  idx.clear();
+  for (int i = 0; i < n; ++i)
+    if (pred(i)) idx.push_back(i);
+  if (order) {
+    // insertion sort by rank; selected counts are tiny (<= a few)
+    for (size_t a = 1; a < idx.size(); ++a) {
+      int v = idx[a];
+      int b = (int)a - 1;
+      while (b >= 0 && order[idx[b]] > order[v]) {
+        idx[b + 1] = idx[b];
+        --b;
+      }
+      idx[b + 1] = v;
+    }
+  }
+  return (int)idx.size();
+}
 
 // Append one sample's entry for a given column.
 void sample_entry(const Batch& b, int key, int s, std::string& out) {
@@ -54,6 +81,17 @@ void sample_entry(const Batch& b, int key, int s, std::string& out) {
   const float* nx = b.node_x + (size_t)s * n;
   const uint8_t* rm = b.roller + (size_t)s * n;
   const float* ld = b.loads + (size_t)s * n;
+  const int32_t* ro =
+      b.roller_order ? b.roller_order + (size_t)s * n : nullptr;
+  const int32_t* fo =
+      b.force_order ? b.force_order + (size_t)s * n : nullptr;
+  static thread_local std::vector<int> idx;
+  auto rollers = [&]() {
+    return ordered_idx(n, ro, [&](int i) { return rm[i] != 0; }, idx);
+  };
+  auto forces = [&]() {
+    return ordered_idx(n, fo, [&](int i) { return ld[i] != 0.0f; }, idx);
+  };
   out.push_back('[');
   bool first = true;
   auto sep = [&]() {
@@ -61,18 +99,27 @@ void sample_entry(const Batch& b, int key, int s, std::string& out) {
     first = false;
   };
   switch (key) {
-    case 0:  // roller_x_locations
-      for (int i = 0; i < n; ++i)
-        if (rm[i]) { sep(); append_double(out, (double)nx[i]); }
+    case 0: {  // roller_x_locations
+      int k = rollers();
+      for (int j = 0; j < k; ++j) {
+        sep(); append_double(out, (double)nx[idx[j]]);
+      }
       break;
-    case 1:  // force_x_locations
-      for (int i = 0; i < n; ++i)
-        if (ld[i] != 0.0f) { sep(); append_double(out, (double)nx[i]); }
+    }
+    case 1: {  // force_x_locations
+      int k = forces();
+      for (int j = 0; j < k; ++j) {
+        sep(); append_double(out, (double)nx[idx[j]]);
+      }
       break;
-    case 2:  // force_values
-      for (int i = 0; i < n; ++i)
-        if (ld[i] != 0.0f) { sep(); append_double(out, (double)ld[i]); }
+    }
+    case 2: {  // force_values
+      int k = forces();
+      for (int j = 0; j < k; ++j) {
+        sep(); append_double(out, (double)ld[idx[j]]);
+      }
       break;
+    }
     case 3:  // I_values
       for (int i = 0; i < n - 1; ++i) {
         sep(); append_double(out, (double)b.I[(size_t)s * (n - 1) + i]);
@@ -91,14 +138,16 @@ void sample_entry(const Batch& b, int key, int s, std::string& out) {
     case 6:  // node_positions
       for (int i = 0; i < n; ++i) { sep(); append_double(out, (double)nx[i]); }
       break;
-    case 7:  // roller_nodes (1-based tags, MultiCore.py:227-240)
-      for (int i = 0; i < n; ++i)
-        if (rm[i]) { sep(); append_int(out, i + 1); }
+    case 7: {  // roller_nodes (1-based tags, MultiCore.py:227-240)
+      int k = rollers();
+      for (int j = 0; j < k; ++j) { sep(); append_int(out, idx[j] + 1); }
       break;
-    case 8:  // force_nodes
-      for (int i = 0; i < n; ++i)
-        if (ld[i] != 0.0f) { sep(); append_int(out, i + 1); }
+    }
+    case 8: {  // force_nodes
+      int k = forces();
+      for (int j = 0; j < k; ++j) { sep(); append_int(out, idx[j] + 1); }
       break;
+    }
     case 11:  // rotations
       for (int i = 0; i < n; ++i) {
         sep(); append_double(out, (double)b.rot[(size_t)s * n + i]);
@@ -181,8 +230,11 @@ int opsio_write_json_dataset(const char* path, int B, int n,
                              const float* loads, const float* I,
                              const float* shear, const float* moment,
                              const float* defl, const float* rot,
-                             const uint8_t* valid, int num_threads) {
-  Batch b{B, n, node_x, roller, loads, I, shear, moment, defl, rot, valid};
+                             const uint8_t* valid,
+                             const int32_t* roller_order,
+                             const int32_t* force_order, int num_threads) {
+  Batch b{B, n, node_x, roller, loads, I, shear, moment, defl, rot, valid,
+          roller_order, force_order};
   std::vector<int> keep;
   keep.reserve(B);
   for (int s = 0; s < B; ++s)
@@ -225,9 +277,12 @@ int opsio_append_json_chunk(const char* dir, int B, int n,
                             const float* loads, const float* I,
                             const float* shear, const float* moment,
                             const float* defl, const float* rot,
-                            const uint8_t* valid, int need_comma,
+                            const uint8_t* valid,
+                            const int32_t* roller_order,
+                            const int32_t* force_order, int need_comma,
                             int num_threads) {
-  Batch b{B, n, node_x, roller, loads, I, shear, moment, defl, rot, valid};
+  Batch b{B, n, node_x, roller, loads, I, shear, moment, defl, rot, valid,
+          roller_order, force_order};
   std::vector<int> keep;
   keep.reserve(B);
   for (int s = 0; s < B; ++s)

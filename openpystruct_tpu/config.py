@@ -77,6 +77,11 @@ class ScenarioConfig:
     # Fixed bridge roller node tags (1-based, OpenSees convention;
     # reference MultiCore.py:66).
     fixed_roller_tags: tuple = (10, 30, 70, 85, 100)
+    # Store roller/force locations in random DRAW order like the reference
+    # (random.choice loop / random.sample, MultiCore.py:137-162) rather
+    # than ascending node order.  Affects dataset feature ordering only —
+    # never the physics.
+    store_draw_order: bool = True
 
     @property
     def min_force(self) -> float:

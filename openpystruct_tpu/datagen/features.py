@@ -12,9 +12,11 @@ Feature layout matches the reference pipeline (per case):
 with zero padding, exactly like ``pad_sequences`` + ``merge_sub_features``
 (OpenPyStruct_FNN_MultiCase.py:205-294).
 
-Ordering divergence (documented): positions extracted from masks come out
-in ascending node order; the reference's random-bridge mode stores them in
-random draw order.  Fixed-bridge rollers are ascending in both.
+Ordering: when the scenario carries draw-order ranks (the sampler's
+default, ``ScenarioConfig.store_draw_order``), roller/force features come
+out in the reference's random draw order
+(OpenPyStruct_BeamOpt_training_MultiCore.py:137-162) — matching what a
+JSON round-trip would produce; without them, ascending node order.
 """
 
 from __future__ import annotations
@@ -23,14 +25,22 @@ import jax
 import jax.numpy as jnp
 
 
-def extract_padded(values, mask, size: int):
-    """Per-sample: values at True positions of ``mask``, ascending order,
-    zero-padded to ``size``.  Vmappable; uses fixed-size jnp.nonzero."""
-    idx = jnp.nonzero(mask, size=size, fill_value=mask.shape[-1])[0]
+def extract_padded(values, mask, size: int, order=None):
+    """Per-sample: values at True positions of ``mask``, zero-padded to
+    ``size``, ordered ascending (default) or by the draw-order ranks in
+    ``order`` ((n,) int, >= n where unselected).  Vmappable."""
+    n = mask.shape[-1]
+    if order is None:
+        idx = jnp.nonzero(mask, size=size, fill_value=n)[0]
+    else:
+        # ranks of selected nodes are 0..k-1, unselected >= n: the first
+        # k slots of argsort are exactly the draw-ordered selection
+        idx = jnp.argsort(jnp.where(mask, order, n))[:size]
+        idx = jnp.where(mask[idx], idx, n)
     padded = jnp.concatenate(
         [values, jnp.zeros((1,), values.dtype)], axis=-1
     )
-    present = idx < mask.shape[-1]
+    present = idx < n
     return jnp.where(present, padded[idx], 0.0)
 
 
@@ -39,18 +49,25 @@ def batch_feature_arrays(batch, max_rollers: int = 5, max_forces: int = 4):
     (device-resident).  Keys: roller_x, force_x, force_values,
     node_positions, I, valid."""
     sc = batch.scenario
+    r_order = sc.roller_order
+    f_order = sc.force_order
 
-    def one(node_x, roller_mask, loads):
+    def one(node_x, roller_mask, loads, ro, fo):
         force_mask = loads != 0.0
         return (
-            extract_padded(node_x, roller_mask, max_rollers),
-            extract_padded(node_x, force_mask, max_forces),
-            extract_padded(loads, force_mask, max_forces),
+            extract_padded(node_x, roller_mask, max_rollers, ro),
+            extract_padded(node_x, force_mask, max_forces, fo),
+            extract_padded(loads, force_mask, max_forces, fo),
         )
 
-    roller_x, force_x, force_values = jax.vmap(one)(
-        sc.node_x, sc.roller_mask, sc.point_loads
-    )
+    if r_order is None:
+        roller_x, force_x, force_values = jax.vmap(
+            lambda nx, rm, ld: one(nx, rm, ld, None, None)
+        )(sc.node_x, sc.roller_mask, sc.point_loads)
+    else:
+        roller_x, force_x, force_values = jax.vmap(one)(
+            sc.node_x, sc.roller_mask, sc.point_loads, r_order, f_order
+        )
     return dict(
         roller_x=roller_x,
         force_x=force_x,

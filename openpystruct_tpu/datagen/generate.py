@@ -373,7 +373,7 @@ def _json_fields(batch) -> dict:
     transferring it all is pure waste — painfully so over remote-device
     links.
     """
-    return dict(
+    fields = dict(
         node_x=np.asarray(batch.scenario.node_x),
         roller=np.asarray(batch.scenario.roller_mask),
         loads=np.asarray(batch.scenario.point_loads),
@@ -384,6 +384,11 @@ def _json_fields(batch) -> dict:
         rot=np.asarray(batch.result.solution.rotations),
         valid=np.asarray(batch.valid),
     )
+    if batch.scenario.roller_order is not None:
+        fields["roller_order"] = np.asarray(batch.scenario.roller_order)
+    if batch.scenario.force_order is not None:
+        fields["force_order"] = np.asarray(batch.scenario.force_order)
+    return fields
 
 
 def generate_dataset_json(
@@ -492,10 +497,14 @@ def shards_to_json(shard_paths, path: str) -> int:
     writer = JsonStreamWriter(path)
     for p in shard_paths:
         with np.load(p) as z:
-            writer.append(dict(
+            fields = dict(
                 node_x=z["node_x"], roller=z["roller_mask"],
                 loads=z["point_loads"], I=z["I"], shear=z["shear_forces"],
                 moment=z["bending_moments"], defl=z["deflections"],
                 rot=z["rotations"], valid=z["valid"],
-            ))
+            )
+            for k in ("roller_order", "force_order"):
+                if k in z.files:
+                    fields[k] = z[k]
+            writer.append(fields)
     return writer.finalize()

@@ -38,24 +38,32 @@ def batch_to_columnar(batch) -> dict:
     OpenPyStruct_BeamOpt_training_MultiCore.py:264-265)."""
     sc = batch.scenario
     res = batch.result
-    return columnar_from_fields(
-        dict(
-            node_x=np.asarray(sc.node_x),
-            roller=np.asarray(sc.roller_mask),
-            loads=np.asarray(sc.point_loads),
-            I=np.asarray(res.I),
-            shear=np.asarray(res.solution.shear_forces),
-            moment=np.asarray(res.solution.bending_moments),
-            defl=np.asarray(res.solution.deflections),
-            rot=np.asarray(res.solution.rotations),
-            valid=np.asarray(batch.valid),
-        )
+    fields = dict(
+        node_x=np.asarray(sc.node_x),
+        roller=np.asarray(sc.roller_mask),
+        loads=np.asarray(sc.point_loads),
+        I=np.asarray(res.I),
+        shear=np.asarray(res.solution.shear_forces),
+        moment=np.asarray(res.solution.bending_moments),
+        defl=np.asarray(res.solution.deflections),
+        rot=np.asarray(res.solution.rotations),
+        valid=np.asarray(batch.valid),
     )
+    if sc.roller_order is not None:
+        fields["roller_order"] = np.asarray(sc.roller_order)
+    if sc.force_order is not None:
+        fields["force_order"] = np.asarray(sc.force_order)
+    return columnar_from_fields(fields)
 
 
 def columnar_from_fields(fields: dict) -> dict:
     """Fields dict (node_x, roller, loads, I, shear, moment, defl, rot,
-    valid — all (B, ...) numpy arrays) -> 13-key columnar schema."""
+    valid — all (B, ...) numpy arrays) -> 13-key columnar schema.
+
+    Optional ``roller_order``/``force_order`` (B, n) int fields reorder the
+    per-sample roller/force lists into the reference's random draw order
+    (OpenPyStruct_BeamOpt_training_MultiCore.py:137-162,227-240); absent,
+    lists come out in ascending node order."""
     valid = np.asarray(fields["valid"])
     node_x = np.asarray(fields["node_x"])
     roller_mask = np.asarray(fields["roller"])
@@ -65,11 +73,17 @@ def columnar_from_fields(fields: dict) -> dict:
     moment = np.asarray(fields["moment"])
     rot = np.asarray(fields["rot"])
     defl = np.asarray(fields["defl"])
+    r_order = fields.get("roller_order")
+    f_order = fields.get("force_order")
 
     out = {k: [] for k in SCHEMA_KEYS}
     for b in np.nonzero(valid)[0]:
         r_idx = np.nonzero(roller_mask[b])[0]
         f_idx = np.nonzero(loads[b] != 0.0)[0]
+        if r_order is not None:
+            r_idx = r_idx[np.argsort(r_order[b][r_idx], kind="stable")]
+        if f_order is not None:
+            f_idx = f_idx[np.argsort(f_order[b][f_idx], kind="stable")]
         out["roller_x_locations"].append(node_x[b, r_idx].tolist())
         out["force_x_locations"].append(node_x[b, f_idx].tolist())
         out["force_values"].append(loads[b, f_idx].tolist())
@@ -132,8 +146,14 @@ def read_json_dataset(path: str, native: bool = True) -> dict:
 
 def write_npz_shard(batch, path: str) -> None:
     """Array-native shard: masked fixed-size arrays, no ragged lists."""
+    extra = {}
+    if batch.scenario.roller_order is not None:
+        extra["roller_order"] = np.asarray(batch.scenario.roller_order)
+    if batch.scenario.force_order is not None:
+        extra["force_order"] = np.asarray(batch.scenario.force_order)
     np.savez_compressed(
         path,
+        **extra,
         node_x=np.asarray(batch.scenario.node_x),
         roller_mask=np.asarray(batch.scenario.roller_mask),
         point_loads=np.asarray(batch.scenario.point_loads),

@@ -52,7 +52,8 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
         ]
         lib.opsio_append_json_chunk.restype = ctypes.c_int
         lib.opsio_append_json_chunk.argtypes = [
@@ -61,7 +62,8 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
         ]
         lib.opsio_finalize_json.restype = ctypes.c_int
         lib.opsio_finalize_json.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
@@ -184,6 +186,23 @@ def _u8ptr(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
 
 
+def _i32ptr(a):
+    """int32 pointer, or a NULL pointer for None (ascending order)."""
+    if a is None:
+        return ctypes.POINTER(ctypes.c_int32)()
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _order_fields(fields: dict):
+    """(roller_order, force_order) as contiguous int32 arrays or None."""
+    def i32(x):
+        if x is None:
+            return None
+        return np.ascontiguousarray(np.asarray(x), dtype=np.int32)
+
+    return i32(fields.get("roller_order")), i32(fields.get("force_order"))
+
+
 def write_json_dataset_native(batch_or_fields, path: str,
                               num_threads: int = 0) -> int:
     """Serialize a DatagenBatch (or a fields dict with keys node_x, roller,
@@ -209,6 +228,8 @@ def write_json_dataset_native(batch_or_fields, path: str,
             defl=b.result.solution.deflections,
             rot=b.result.solution.rotations,
             valid=b.valid,
+            roller_order=b.scenario.roller_order,
+            force_order=b.scenario.force_order,
         )
 
     def f32(x):
@@ -224,11 +245,12 @@ def write_json_dataset_native(batch_or_fields, path: str,
     defl = f32(fields["defl"])
     rot = f32(fields["rot"])
     valid = np.ascontiguousarray(np.asarray(fields["valid"]), np.uint8)
+    r_order, f_order = _order_fields(fields)
 
     written = lib.opsio_write_json_dataset(
         path.encode(), B, n, _fptr(node_x), _u8ptr(roller), _fptr(loads),
         _fptr(I), _fptr(shear), _fptr(moment), _fptr(defl), _fptr(rot),
-        _u8ptr(valid), num_threads,
+        _u8ptr(valid), _i32ptr(r_order), _i32ptr(f_order), num_threads,
     )
     if written < 0:
         raise RuntimeError(f"native writer failed with code {written}")
@@ -287,11 +309,13 @@ class JsonStreamWriter:
         arrs = _contig_fields(fields)
         node_x = arrs[0]
         B, n = node_x.shape
+        r_order, f_order = _order_fields(fields)
         r = self._lib.opsio_append_json_chunk(
             self._dir.encode(), B, n,
             _fptr(arrs[0]), _u8ptr(arrs[1]), _fptr(arrs[2]),
             _fptr(arrs[3]), _fptr(arrs[4]), _fptr(arrs[5]),
             _fptr(arrs[6]), _fptr(arrs[7]), _u8ptr(arrs[8]),
+            _i32ptr(r_order), _i32ptr(f_order),
             1 if self.written else 0, self.num_threads,
         )
         if r < 0:

@@ -51,19 +51,33 @@ def sample_scenario(key, cfg: ScenarioConfig = ScenarioConfig()) -> BeamScenario
         r_scores = jnp.where(
             candidates, jax.random.uniform(k_roll, (n,)), jnp.inf
         )
-        roller_mask = _rank(r_scores) < num_rollers
+        r_rank = _rank(r_scores)
+        roller_mask = r_rank < num_rollers
+        # draw position of each selected roller: conditional on the
+        # selected set, the score order is a uniform permutation — the
+        # same law as the reference's sequential random.choice draws
+        # (MultiCore.py:145-156)
+        roller_order = jnp.where(roller_mask, r_rank, n)
     else:
         L = jnp.asarray(float(cfg.L_max))
         roller_mask = jnp.zeros(n, dtype=bool)
         for tag in cfg.fixed_roller_tags:
             roller_mask = roller_mask.at[tag - 1].set(True)
+        # fixed rollers are stored in the given (ascending-tag) list order
+        roller_order = jnp.where(
+            roller_mask, jnp.cumsum(roller_mask) - 1, n
+        )
 
     node_x = jnp.linspace(0.0, 1.0, n) * L
 
     available = candidates & (~roller_mask)
     num_forces = jax.random.randint(k_nf, (), 1, cfg.m_forces_max + 1)
     f_scores = jnp.where(available, jax.random.uniform(k_fsel, (n,)), jnp.inf)
-    force_sel = _rank(f_scores) < num_forces
+    f_rank = _rank(f_scores)
+    force_sel = f_rank < num_forces
+    # forces are random.sample'd in BOTH modes (MultiCore.py:159-160), so
+    # their storage order is a uniform permutation in both
+    force_order = jnp.where(force_sel, f_rank, n)
 
     lo = jnp.minimum(cfg.max_force, cfg.min_force)
     hi = jnp.maximum(cfg.max_force, cfg.min_force)
@@ -75,4 +89,8 @@ def sample_scenario(key, cfg: ScenarioConfig = ScenarioConfig()) -> BeamScenario
         roller_mask=roller_mask,
         point_loads=point_loads,
         udl=jnp.asarray(float(cfg.udl)),
+        roller_order=(roller_order.astype(jnp.int32)
+                      if cfg.store_draw_order else None),
+        force_order=(force_order.astype(jnp.int32)
+                     if cfg.store_draw_order else None),
     )

@@ -42,12 +42,21 @@ class BeamScenario:
       (reference OpenPyStruct_BeamOpt.py:114-115).
     udl: scalar uniform transverse load on all elements (N/m)
       (reference OpenPyStruct_BeamOpt.py:117-119).
+    roller_order/force_order: optional (n,) int32 — the node's DRAW
+      POSITION among the selected rollers/forces (0-based; >= n where
+      unselected).  The reference stores roller/force locations in random
+      draw order — sequential random.choice for random-bridge rollers and
+      random.sample for forces in both modes
+      (OpenPyStruct_BeamOpt_training_MultiCore.py:137-162) — and the JSON
+      writers honor these when present.  None means ascending node order.
     """
 
     node_x: jax.Array
     roller_mask: jax.Array
     point_loads: jax.Array
     udl: jax.Array
+    roller_order: Optional[jax.Array] = None
+    force_order: Optional[jax.Array] = None
 
     @property
     def num_nodes(self) -> int:

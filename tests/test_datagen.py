@@ -211,3 +211,82 @@ def test_singularity_detector():
     assert float(beam_min_pivot(I, one_roller, 200e9, 0.01)) > tol
     assert float(beam_min_pivot(Iwide, one_roller, 200e9, 0.01)) > tol
     assert float(beam_min_pivot(I, singular, 200e9, 0.01)) < tol
+
+
+def test_draw_order_distribution():
+    """Roller/force storage order is a uniform random permutation of the
+    selected set (the reference's sequential random.choice / random.sample,
+    MultiCore.py:137-162) — NOT ascending node order."""
+    cfg = ScenarioConfig(random_bridge=True)
+    keys = jax.random.split(jax.random.PRNGKey(7), 4096)
+    scs = jax.vmap(lambda k: sample_scenario(k, cfg))(keys)
+    roller = np.asarray(scs.roller_mask)
+    r_order = np.asarray(scs.roller_order)
+    f_order = np.asarray(scs.force_order)
+    loads = np.asarray(scs.point_loads)
+
+    def first_is_min(mask_row, order_row):
+        idx = np.nonzero(mask_row)[0]
+        if idx.size < 2:
+            return None
+        first = idx[np.argmin(order_row[idx])]
+        return first == idx.min()
+
+    stats = [first_is_min(m, o) for m, o in zip(roller, r_order)]
+    stats = [s for s in stats if s is not None]
+    inv_k = [1.0 / np.count_nonzero(m) for m in roller
+             if np.count_nonzero(m) >= 2]
+    frac = np.mean(stats)
+    expect = np.mean(inv_k)
+    # ascending storage would give frac == 1.0; uniform draw order ~ E[1/k]
+    assert abs(frac - expect) < 0.05, (frac, expect)
+
+    # forces are draw-ordered in FIXED mode too (random.sample is outside
+    # the flag branch, MultiCore.py:159-160)
+    cfg_f = ScenarioConfig()
+    scs_f = jax.vmap(lambda k: sample_scenario(k, cfg_f))(
+        jax.random.split(jax.random.PRNGKey(8), 4096)
+    )
+    loads_f = np.asarray(scs_f.point_loads)
+    fo = np.asarray(scs_f.force_order)
+    stats = [first_is_min(m, o) for m, o in zip(loads_f != 0.0, fo)]
+    stats = [s for s in stats if s is not None]
+    inv_k = [1.0 / np.count_nonzero(m) for m in (loads_f != 0.0)
+             if np.count_nonzero(m) >= 2]
+    assert abs(np.mean(stats) - np.mean(inv_k)) < 0.05
+
+    # fixed-bridge ROLLERS stay in the given ascending-tag order
+    ro_f = np.asarray(scs_f.roller_order)
+    for m, o in zip(np.asarray(scs_f.roller_mask)[:16], ro_f[:16]):
+        idx = np.nonzero(m)[0]
+        assert (o[idx] == np.arange(idx.size)).all()
+
+    # flag off -> no order fields -> ascending storage
+    scs_off = jax.vmap(
+        lambda k: sample_scenario(
+            k, ScenarioConfig(random_bridge=True, store_draw_order=False)
+        )
+    )(jax.random.split(jax.random.PRNGKey(9), 4))
+    assert scs_off.roller_order is None and scs_off.force_order is None
+
+
+def test_draw_order_json_storage(tmp_path):
+    """columnar JSON honors the draw order end to end, and the same
+    sample's I/physics columns are unaffected."""
+    cfg = ScenarioConfig(random_bridge=True)
+    batch = generate_batch(
+        jax.random.PRNGKey(3), 12, scen_cfg=cfg, opt_cfg=FAST_OPT,
+        rescue=False,
+    )
+    cols = batch_to_columnar(batch)
+    roller = np.asarray(batch.scenario.roller_mask)
+    r_order = np.asarray(batch.scenario.roller_order)
+    node_x = np.asarray(batch.scenario.node_x)
+    valid = np.asarray(batch.valid)
+    for row, b in enumerate(np.nonzero(valid)[0]):
+        idx = np.nonzero(roller[b])[0]
+        draw = idx[np.argsort(r_order[b][idx], kind="stable")]
+        np.testing.assert_allclose(
+            cols["roller_x_locations"][row], node_x[b][draw], rtol=1e-6
+        )
+        assert cols["roller_nodes"][row] == (draw + 1).tolist()
