@@ -94,7 +94,23 @@ def _read_vec(ref, i):
 # ---------------------------------------------------------------------------
 # Shared kernel stages.  Each takes the scratch refs it reads/writes; all
 # solve-space quantities are in the Jacobi-scaled system K_s = S K S.
+#
+# The stages are precision-POLYMORPHIC: handed plain float32 refs they are
+# the production float32 pipeline (bitwise unchanged — the dd dispatch
+# helpers are identities on plain arrays); handed ops.dd RefPair/LiftRef
+# refs they run the same algorithm in double-double (~48-bit) arithmetic,
+# which is how the random-bridge rescue kernel (ops/beam_kernel_dd.py)
+# reuses this exact code.  Convention required by that reuse: when mixing
+# dd values with plain float32 masks/loads, the dd value goes on the LEFT
+# of * and + (jnp arrays don't defer to DD's __rmul__).
 # ---------------------------------------------------------------------------
+
+from openpystruct_tpu.ops.dd import (
+    absval as _absval,
+    dd_rsqrt as _dd_rsqrt,
+    dd_where as _dd_where,
+    zeros_entry as _zeros_entry,
+)
 
 def _stage_stiffness(nelem, I_ref, Le_ref, E, EA, ks_scr):
     """ks rows per element: EA/Le, 12EI/Le^3, 6EI/Le^2, 4EI/Le, 2EI/Le."""
@@ -120,7 +136,7 @@ def _stage_assemble(nelem, Le_ref, free_ref, load_ref, udl_ref, rhs_ref,
                     ks_scr, diag_scr, upper_scr, f_scr):
     """Masked block-tridiagonal assembly + RHS (loads+UDL or explicit)."""
     n = nelem + 1
-    zero = jnp.zeros_like(ks_scr[0, 0])
+    zero = _zeros_entry(ks_scr[0, 0])
     w = udl_ref[0, 0] if udl_ref is not None else None
 
     def body(i, _):
@@ -129,7 +145,7 @@ def _stage_assemble(nelem, Le_ref, free_ref, load_ref, udl_ref, rhs_ref,
 
         def ks_of(j, active):
             jj = jnp.clip(j, 0, nelem - 1)
-            m = jnp.where(active, 1.0, 0.0).astype(zero.dtype)
+            m = jnp.where(active, 1.0, 0.0).astype(free_ref.dtype)
             return [ks_scr[jj, k] * m for k in range(5)]
 
         ea_p, k11_p, k12_p, k13_p, _k2p = ks_of(i - 1, has_prev)
@@ -145,15 +161,15 @@ def _stage_assemble(nelem, Le_ref, free_ref, load_ref, udl_ref, rhs_ref,
 
         # masked diag: zero rows/cols of constrained DOFs, original
         # diagonal entry back on the diagonal
-        diag_scr[i, 0, 0] = d00 * free[0] * free[0] + con[0] * d00
+        diag_scr[i, 0, 0] = d00 * free[0] * free[0] + d00 * con[0]
         diag_scr[i, 0, 1] = zero
         diag_scr[i, 0, 2] = zero
         diag_scr[i, 1, 0] = zero
-        diag_scr[i, 1, 1] = d11 * free[1] * free[1] + con[1] * d11
+        diag_scr[i, 1, 1] = d11 * free[1] * free[1] + d11 * con[1]
         diag_scr[i, 1, 2] = d12 * free[1] * free[2]
         diag_scr[i, 2, 0] = zero
         diag_scr[i, 2, 1] = d12 * free[2] * free[1]
-        diag_scr[i, 2, 2] = d22 * free[2] * free[2] + con[2] * d22
+        diag_scr[i, 2, 2] = d22 * free[2] * free[2] + d22 * con[2]
 
         # upper block couples node i to i+1 (element i); zero at the end
         free_n = [free_ref[0, jnp.clip(i + 1, 0, n - 1), a]
@@ -174,14 +190,14 @@ def _stage_assemble(nelem, Le_ref, free_ref, load_ref, udl_ref, rhs_ref,
             f_scr[i, 2] = rhs_ref[0, i, 2] * free[2]
         else:
             # consistent UDL loads + nodal point loads
-            Le_p = jnp.where(
+            Le_p = _dd_where(
                 has_prev, Le_ref[0, jnp.clip(i - 1, 0, nelem - 1)], zero
             )
-            Le_n = jnp.where(
+            Le_n = _dd_where(
                 has_next, Le_ref[0, jnp.clip(i, 0, nelem - 1)], zero
             )
-            fy = load_ref[0, i] + w * (Le_p + Le_n) * 0.5
-            fm = w * (Le_n * Le_n - Le_p * Le_p) / 12.0
+            fy = (Le_p + Le_n) * w * 0.5 + load_ref[0, i]
+            fm = (Le_n * Le_n - Le_p * Le_p) * w / 12.0
             f_scr[i, 0] = zero
             f_scr[i, 1] = fy * free[1]
             f_scr[i, 2] = fm * free[2]
@@ -195,7 +211,7 @@ def _stage_scale(n, diag_scr, upper_scr, f_scr, s_scr):
 
     def body(i, _):
         for a in range(3):
-            s_scr[i, a] = jax.lax.rsqrt(diag_scr[i, a, a])
+            s_scr[i, a] = _dd_rsqrt(diag_scr[i, a, a])
         for a in range(3):
             for b in range(3):
                 diag_scr[i, a, b] = (
@@ -272,9 +288,9 @@ def _stage_factor(n, diag_scr, upper_scr, sinv_scr, c_scr=None,
                                  _mv(_t(u_prev), _read_vec(y_ref, i - 1))))
             for a in range(3):
                 y_ref[i, a] = y[a]
-        return jnp.minimum(min_det, jnp.abs(_det3(s)))
+        return jnp.minimum(min_det, _absval(_det3(s)))
 
-    return jax.lax.fori_loop(1, n, fwd, jnp.abs(_det3(d0)))
+    return jax.lax.fori_loop(1, n, fwd, _absval(_det3(d0)))
 
 
 def _substitute_inplace(n, upper_scr, sinv_scr, x_ref, c_scr=None):
