@@ -65,9 +65,14 @@ def _add_datagen(sub):
                         "batches >= 2048/device)")
     p.add_argument("--no-rescue", action="store_true",
                    help="with --random-bridge: drop the ill-conditioned "
-                        "tail instead of re-optimizing it in float64 on "
-                        "the host CPU (faster, but the kept-sample "
+                        "tail instead of re-optimizing it at float64-grade "
+                        "accuracy (faster, but the kept-sample "
                         "distribution then diverges from the reference's)")
+    p.add_argument("--rescue-mode", choices=["dd", "f64"], default=None,
+                   help="rescue arithmetic: 'dd' = double-double fused "
+                        "Pallas kernel on-device (default on TPU), 'f64' = "
+                        "host-CPU float64 re-optimization (default "
+                        "elsewhere)")
 
 
 def _add_train(sub):
@@ -222,7 +227,7 @@ def cmd_datagen(args):
             batch_size=args.batch_size, scen_cfg=scen, opt_cfg=opt_cfg,
             refine=args.refine, mesh=mesh, progress=True,
             compact=False if args.no_compact else None,
-            rescue=False if args.no_rescue else None,
+            rescue=False if args.no_rescue else args.rescue_mode,
         )
         n = shards_to_json(paths, args.output)
     else:
@@ -231,7 +236,7 @@ def cmd_datagen(args):
             batch_size=args.batch_size, scen_cfg=scen, opt_cfg=opt_cfg,
             refine=args.refine, mesh=mesh, progress=True,
             compact=False if args.no_compact else None,
-            rescue=False if args.no_rescue else None,
+            rescue=False if args.no_rescue else args.rescue_mode,
         )
     dt = time.time() - t0
     print("Data generation complete.")

@@ -17,13 +17,19 @@ structurally valid — the sampler always places >= 1 roller) systems: one
 roller near the pin plus the 1e-8 I clamp gives ~5e7 stiffness contrast.
 float64 OpenSees keeps those samples; the float32 pivot check drops them
 (their float32 solutions would be garbage), ~25-40% of a random-bridge
-batch.  The **float64 rescue** (``rescue=True``, the default whenever
-``random_bridge`` is on) closes that distribution gap: pivot-rejected lanes
-are re-optimized from scratch in float64 on the host CPU — exactly the
-arithmetic the reference runs for *every* sample — and merged back, so the
-kept-sample support matches the reference's (drop rate ~0%).  The rescued
-fraction pays the slow host path, so random-bridge throughput is dominated
-by it (BENCHMARKS.md); fixed-bridge batches never trigger it.
+batch.  The **rescue** (on by default whenever ``random_bridge`` is on)
+closes that distribution gap: pivot-rejected lanes are re-optimized from
+scratch at float64-grade accuracy and merged back, so the kept-sample
+support matches the reference's (drop rate ~0%).  Two arithmetics:
+
+- ``rescue="dd"`` (default on TPU): the double-double fused Pallas kernel
+  (ops/beam_kernel_dd.py) — ~48-bit mantissa emulated on the float32 VPU,
+  entirely on-device, so the rescued tail runs at kernel speed;
+- ``rescue="f64"`` (default elsewhere; round-2 fallback): re-optimize on
+  the host CPU in real float64 — exactly the arithmetic the reference
+  runs for *every* sample, but serial on one core (~78 s per 4096 batch).
+
+Fixed-bridge batches never trigger either path.
 """
 
 from __future__ import annotations
@@ -123,12 +129,13 @@ def _make_batch_fn(
     return jax.jit(batch_fn)
 
 
-# Validity floor for float64-rescued lanes.  Empirical: rescued
-# random-bridge lanes' f64 Schur pivots sit in [7.5e-10, 1.3e-5] (pure
-# conditioning spread — every lane has a pin + >=1 roller, so none is a
-# mechanism), while a genuinely singular system collapses to the f64
-# round-off floor orders of magnitude below.  1e-12 splits the two regimes
-# with >2 decades of margin on each side.
+# Validity floor for rescued lanes.  Empirical: rescued random-bridge
+# lanes' f64 Schur pivots sit in [7.5e-10, 1.3e-5] (pure conditioning
+# spread — every lane has a pin + >=1 roller, so none is a mechanism),
+# while a genuinely singular system collapses to the round-off floor
+# orders of magnitude below (f64 ~1e-16-scale; the dd kernel's measured
+# floor is <1e-13, tests/test_beam_kernel_dd.py).  1e-12 splits the two
+# regimes with >=1 decade of margin on each side for both arithmetics.
 RESCUE_PIVOT_TOL = 1e-12
 
 # Gather/merge programs for the rescue path (shape-keyed by jit itself;
@@ -138,6 +145,42 @@ RESCUE_PIVOT_TOL = 1e-12
 @jax.jit
 def _gather_scenario(scenario, gidx):
     return jax.tree.map(lambda x: x[gidx], scenario)
+
+
+@functools.lru_cache(maxsize=8)
+def _make_dd_rescue_fn(
+    beam_cfg: BeamConfig, opt_cfg: OptimizerConfig, interpret: bool
+):
+    """Double-double re-optimization of pivot-rejected lanes, entirely
+    on-device (ops/beam_kernel_dd.py).  Cold start from I0, full epoch
+    budget — the same trajectory the float64 host rescue computes, at
+    fused-kernel speed on the TPU's float32 VPU."""
+    from openpystruct_tpu.opt.beam_opt import optimize_beam_compact
+
+    @jax.jit
+    def rescue(scenario, I0):
+        res = optimize_beam_compact(
+            scenario, beam_cfg, opt_cfg, I0=I0, dd=True,
+            interpret=interpret, min_bucket=256,
+        )
+        pivot = res.pivot  # dd min Schur pivot of the final solve
+        finite = jnp.all(jnp.isfinite(res.I), axis=-1) & jnp.all(
+            jnp.isfinite(res.solution.displacements), axis=(-2, -1)
+        )
+        valid = finite & (pivot > RESCUE_PIVOT_TOL)
+        sol = res.solution
+        return dict(
+            I=res.I, I_solved=res.I_solved,
+            displacements=sol.displacements, deflections=sol.deflections,
+            rotations=sol.rotations, shear=sol.shear_forces,
+            moment=sol.bending_moments,
+            loss=jnp.stack([res.loss.total, res.loss.primary,
+                            res.loss.bending_energy, res.loss.shear_energy]),
+            n_epochs=res.n_epochs, converged=res.converged,
+            pivot=pivot, valid=valid,
+        )
+
+    return rescue
 
 
 @functools.lru_cache(maxsize=8)
@@ -219,9 +262,18 @@ def _rescue_batch(
     batch: DatagenBatch,
     beam_cfg: BeamConfig,
     opt_cfg: OptimizerConfig,
+    mode: str = "dd",
 ) -> DatagenBatch:
-    """Re-optimize the pivot-rejected lanes of ``batch`` in float64 on the
-    host CPU and merge the results back (see module docstring)."""
+    """Re-optimize the pivot-rejected lanes of ``batch`` and merge the
+    results back (see module docstring).
+
+    ``mode="dd"`` (default): the double-double fused Pallas kernel,
+    on-device — float64-grade arithmetic on the float32 VPU, no host
+    detour.  ``mode="f64"``: the round-2 fallback, re-optimizing on the
+    host CPU in real float64.  Both start cold from I0 with the full
+    epoch budget, which for these lanes IS the reference's computation
+    (its torch/OpenSees loop is float64 throughout).
+    """
     if jax.process_count() > 1:
         # the gather below fetches the whole batch to this host, which
         # raises on non-addressable shards of a multi-host array — degrade
@@ -229,7 +281,7 @@ def _rescue_batch(
         import logging
 
         logging.getLogger(__name__).warning(
-            "float64 rescue is single-host only; skipping under "
+            "lane rescue is single-host only; skipping under "
             "multi-host (pivot-rejected lanes stay dropped)"
         )
         return batch
@@ -245,28 +297,36 @@ def _rescue_batch(
     gidx = np.concatenate(
         [bad, np.zeros(bucket - bad.size, dtype=bad.dtype)]
     )
-    sub_scen = jax.tree.map(
-        np.asarray, _gather_scenario(batch.scenario, jnp.asarray(gidx))
-    )
 
-    cpu = jax.devices("cpu")[0]
-    with jax.enable_x64(), jax.default_device(cpu):
-        scen64 = jax.tree.map(
-            lambda x: jnp.asarray(
-                x, jnp.float64 if np.issubdtype(x.dtype, np.floating)
-                else x.dtype
-            ),
-            sub_scen,
+    if mode == "dd":
+        sub_scen = _gather_scenario(batch.scenario, jnp.asarray(gidx))
+        I0 = jnp.full((bucket, nelem), beam_cfg.I0, jnp.float32)
+        interpret = jax.default_backend() != "tpu"
+        out = _make_dd_rescue_fn(beam_cfg, opt_cfg, interpret)(sub_scen, I0)
+    elif mode == "f64":
+        sub_scen = jax.tree.map(
+            np.asarray, _gather_scenario(batch.scenario, jnp.asarray(gidx))
         )
-        I0 = jnp.full((bucket, nelem), beam_cfg.I0, jnp.float64)
-        out = _make_rescue_fn(beam_cfg, opt_cfg)(scen64, I0)
-        # cast down on the host: halves the host->device transfer and the
-        # batch arrays are float32 anyway
-        out = {
-            k: np.asarray(v).astype(np.float32)
-            if v.dtype == jnp.float64 else np.asarray(v)
-            for k, v in out.items()
-        }
+        cpu = jax.devices("cpu")[0]
+        with jax.enable_x64(), jax.default_device(cpu):
+            scen64 = jax.tree.map(
+                lambda x: jnp.asarray(
+                    x, jnp.float64 if np.issubdtype(x.dtype, np.floating)
+                    else x.dtype
+                ),
+                sub_scen,
+            )
+            I0 = jnp.full((bucket, nelem), beam_cfg.I0, jnp.float64)
+            out = _make_rescue_fn(beam_cfg, opt_cfg)(scen64, I0)
+            # cast down on the host: halves the host->device transfer and
+            # the batch arrays are float32 anyway
+            out = {
+                k: np.asarray(v).astype(np.float32)
+                if v.dtype == jnp.float64 else np.asarray(v)
+                for k, v in out.items()
+            }
+    else:
+        raise ValueError(f"unknown rescue mode: {mode!r}")
 
     put = np.where(np.arange(bucket) < bad.size, gidx, B)
     return _merge_rescued(batch, out, jnp.asarray(put))
@@ -284,7 +344,7 @@ def generate_batch(
     data_axis: str = "data",
     use_pallas: Optional[bool] = None,
     compact: Optional[bool] = None,
-    rescue: Optional[bool] = None,
+    rescue=None,
 ) -> DatagenBatch:
     """Generate and optimize ``batch_size`` random scenarios in one program.
 
@@ -310,6 +370,11 @@ def generate_batch(
         # only random-bridge produces the ill-conditioned tail the float32
         # pivot check drops (module docstring); elsewhere skip the host sync
         rescue = scen_cfg.random_bridge
+    if rescue is True:
+        # auto mode: the on-device dd kernel wherever Pallas compiles
+        # natively; the host-f64 path where the dd kernel would have to
+        # run in (slow) interpreter mode anyway
+        rescue = "dd" if jax.default_backend() == "tpu" else "f64"
     keys = jax.random.split(key, batch_size)
 
     fn = _make_batch_fn(
@@ -317,13 +382,13 @@ def generate_batch(
         mesh, data_axis, compact,
     )
     if mesh is not None:
-        sharding = jax.sharding.NamedSharding(
-            mesh, jax.sharding.PartitionSpec(data_axis)
-        )
-        keys = jax.device_put(keys, sharding)
+        # every process derives the same key table; multi-host safe put
+        from openpystruct_tpu.parallel import make_global_batch
+
+        keys = make_global_batch(keys, mesh, data_axis)
     batch = fn(keys)
     if rescue:
-        batch = _rescue_batch(batch, beam_cfg, opt_cfg)
+        batch = _rescue_batch(batch, beam_cfg, opt_cfg, mode=rescue)
     return batch
 
 

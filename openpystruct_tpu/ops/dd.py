@@ -317,3 +317,27 @@ class LiftRef:
 
     def __getitem__(self, idx):
         return DD.lift(self.r[idx])
+
+
+class CollapseRef:
+    """Plain float32 ref that collapses DD writes and lifts reads.
+
+    For quantities where CONSISTENCY, not extra precision, is what
+    correctness needs — e.g. the Jacobi scale vector: any fixed S gives an
+    exactly equivalent scaled system, so storing S in f32 halves its VMEM
+    while the dd pipeline still sees exact (lifted) values."""
+
+    __slots__ = ("r",)
+
+    def __init__(self, ref):
+        self.r = ref
+
+    @property
+    def dtype(self):
+        return self.r.dtype
+
+    def __getitem__(self, idx):
+        return DD.lift(self.r[idx])
+
+    def __setitem__(self, idx, v):
+        self.r[idx] = collapse(v)

@@ -186,6 +186,7 @@ def optimize_beam_batched(
     use_pallas: bool = True,
     interpret: bool = False,
     fused: Optional[bool] = None,
+    dd: bool = False,
 ) -> BeamOptResult:
     """Explicitly-batched optimizer: every leaf of ``scenario`` has a
     leading batch dim, the FE solves run the Pallas kernel on the whole
@@ -216,7 +217,8 @@ def optimize_beam_batched(
         fused = use_pallas and _fits_fused(nelem + 1)
 
     kernel_step = _make_kernel_step(
-        scenario, beam, opt, refine, use_pallas, fused, interpret, dtype
+        scenario, beam, opt, refine, use_pallas, fused, interpret, dtype,
+        dd=dd,
     )
 
     carry0 = dict(
@@ -231,7 +233,8 @@ def optimize_beam_batched(
     c = jax.lax.while_loop(cond, body, carry0)
 
     sol, piv = _final_solution(
-        scenario, c["I_solved"], beam, refine, use_pallas, fused, interpret
+        scenario, c["I_solved"], beam, refine, use_pallas, fused, interpret,
+        dd=dd,
     )
 
     return BeamOptResult(
@@ -256,7 +259,7 @@ def _fits_fused(n_nodes: int) -> bool:
 
 
 def _make_kernel_step(scenario, beam, opt, refine, use_pallas, fused,
-                      interpret, dtype):
+                      interpret, dtype, dd=False):
     """One optimizer iteration for the whole batch:
     ``step(I, mu, nu, epoch) -> (I_new, mu, nu, comps)``.
 
@@ -269,6 +272,40 @@ def _make_kernel_step(scenario, beam, opt, refine, use_pallas, fused,
 
     E, G, A = beam.E, beam.G, beam.A
     b1, b2, eps = 0.9, 0.999, 1e-8
+
+    if dd:
+        from openpystruct_tpu.ops.beam_kernel_dd import (
+            pallas_beam_opt_step_dd,
+        )
+
+        if opt.grad_mode != "semi":
+            raise NotImplementedError(
+                "dd kernels implement the reference's semi-gradient mode "
+                "only (the rescue path; OpenPyStruct_BeamOpt.py:150-151)"
+            )
+        Le = jnp.diff(scenario.node_x, axis=-1).astype(dtype)
+        free = (~jax.vmap(constraint_mask)(scenario)).astype(dtype)
+
+        def kernel_step(I, mu, nu, epoch):
+            t = (epoch + 1).astype(dtype)
+            lr_t = opt.lr * opt.lr_gamma ** epoch.astype(dtype)
+            bc1 = 1.0 / (1.0 - b1**t)
+            bc2 = 1.0 / (1.0 - b2**t)
+            I_new, mu_new, nu_new, stats, _piv = pallas_beam_opt_step_dd(
+                I, mu, nu, Le, free, scenario.point_loads, scenario.udl,
+                lr_t, bc1, bc2, float(E), float(A), float(G),
+                alpha_m=float(opt.alpha_moment),
+                alpha_s=float(opt.alpha_shear),
+                clamp_min=float(opt.clamp_min),
+                interpret=interpret,
+            )
+            comps = LossComponents(
+                total=stats[:, 0], primary=stats[:, 1],
+                bending_energy=stats[:, 2], shear_energy=stats[:, 3],
+            )
+            return I_new, mu_new, nu_new, comps
+
+        return kernel_step
 
     if fused:
         Le = jnp.diff(scenario.node_x, axis=-1).astype(dtype)
@@ -401,7 +438,7 @@ def _make_freeze_body(kernel_step, opt):
 
 
 def _final_solution(scenario, I_solved, beam, refine, use_pallas, fused,
-                    interpret):
+                    interpret, dd=False):
     """One analysis at the last-solved I — reproduces exactly the solution
     the loop's last evaluation saw (same kernel, same inputs) without
     carrying (B, n, 3) fields through every iteration.  Returns
@@ -414,6 +451,23 @@ def _final_solution(scenario, I_solved, beam, refine, use_pallas, fused,
     from openpystruct_tpu.ops.beam_kernel import pallas_beam_analysis
 
     I_solved = jax.lax.stop_gradient(I_solved)
+    if dd:
+        from openpystruct_tpu.ops.beam_kernel_dd import (
+            pallas_beam_analysis_dd,
+        )
+
+        dtype = I_solved.dtype
+        Le = jnp.diff(scenario.node_x, axis=-1).astype(dtype)
+        free = (~jax.vmap(constraint_mask)(scenario)).astype(dtype)
+        u, V, M, piv = pallas_beam_analysis_dd(
+            I_solved, Le, free, scenario.point_loads, scenario.udl,
+            float(beam.E), float(beam.A), interpret=interpret,
+        )
+        sol = BeamSolution(
+            displacements=u, deflections=u[..., 1], rotations=u[..., 2],
+            shear_forces=V, bending_moments=M,
+        )
+        return sol, piv
     if fused:
         dtype = I_solved.dtype
         Le = jnp.diff(scenario.node_x, axis=-1).astype(dtype)
@@ -470,6 +524,7 @@ def optimize_beam_compact(
     interpret: bool = False,
     fused: Optional[bool] = None,
     min_bucket: int = 512,
+    dd: bool = False,
 ) -> BeamOptResult:
     """``optimize_beam_batched`` with early-exit lane compaction.
 
@@ -504,7 +559,7 @@ def optimize_beam_compact(
     def run_stage(scen_s, st, epoch0, next_size):
         kernel_step = _make_kernel_step(
             scen_s, beam, opt, refine, use_pallas, fused, interpret,
-            I0.dtype,
+            I0.dtype, dd=dd,
         )
         body = _make_freeze_body(kernel_step, opt)
 
@@ -535,7 +590,7 @@ def optimize_beam_compact(
 
     sol, piv = _final_solution(
         scenario, state["I_solved"], beam, refine, use_pallas, fused,
-        interpret,
+        interpret, dd=dd,
     )
     return BeamOptResult(
         I=state["I"],

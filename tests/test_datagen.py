@@ -130,6 +130,49 @@ def test_random_bridge_f64_rescue():
     assert np.abs(np.where(rollers, defl, 0.0)).max() == 0.0
 
 
+def test_random_bridge_dd_rescue():
+    """The on-device double-double rescue keeps the same lanes as the
+    float64 host rescue and produces statistically identical samples —
+    this is what retires the ~53 samples/s host detour (VERDICT round 2,
+    next-round item 1)."""
+    cfg = ScenarioConfig(random_bridge=True)
+    import dataclasses
+
+    opt = dataclasses.replace(FAST_OPT, max_epochs=60)
+    kw = dict(scen_cfg=cfg, opt_cfg=opt, refine=0, use_pallas=False)
+    b0 = generate_batch(jax.random.PRNGKey(11), 64, rescue=False, **kw)
+    bd = generate_batch(jax.random.PRNGKey(11), 64, rescue="dd", **kw)
+    bf = generate_batch(jax.random.PRNGKey(11), 64, rescue="f64", **kw)
+    v0 = np.asarray(b0.valid)
+    vd, vf = np.asarray(bd.valid), np.asarray(bf.valid)
+    assert v0.sum() < 64, "seed produced no f32 drops; test is vacuous"
+    # same support as the f64 (reference-equivalent) rescue: ~no drops
+    np.testing.assert_array_equal(vd, vf)
+    assert vd.mean() > 0.99
+    # lanes the f32 path kept are merged through untouched
+    assert (
+        np.asarray(bd.result.I)[v0] == np.asarray(b0.result.I)[v0]
+    ).all()
+    # rescued lanes: dd and f64 ran the same cold-start trajectory; with
+    # identical early stopping the I fields must agree to dd accuracy
+    resc = vd & ~v0
+    assert resc.any()
+    np.testing.assert_array_equal(
+        np.asarray(bd.result.n_epochs)[resc],
+        np.asarray(bf.result.n_epochs)[resc],
+    )
+    I_dd = np.asarray(bd.result.I)[resc]
+    I_f64 = np.asarray(bf.result.I)[resc]
+    np.testing.assert_allclose(I_dd, I_f64, rtol=1e-3, atol=1e-7)
+    d_dd = np.asarray(bd.result.solution.deflections)[resc]
+    d_f64 = np.asarray(bf.result.solution.deflections)[resc]
+    scale = np.abs(d_f64).max(axis=1, keepdims=True)
+    assert (np.abs(d_dd - d_f64) / scale).max() < 1e-3
+    # constraint physics exact: rollers pinned to zero deflection
+    rollers = np.asarray(bd.scenario.roller_mask)[resc]
+    assert np.abs(np.where(rollers, d_dd, 0.0)).max() == 0.0
+
+
 def test_generate_batch_sharded_matches_unsharded():
     mesh = default_mesh(("data",))
     assert mesh.devices.size == 8
