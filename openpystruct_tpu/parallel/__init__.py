@@ -14,6 +14,9 @@ from openpystruct_tpu.parallel.mesh import (
     batch_sharding,
     replicated_sharding,
     shard_batch,
+    make_global_batch,
+    replicate_to_mesh,
+    all_processes_min_max,
     initialize_multihost,
 )
 
@@ -22,5 +25,8 @@ __all__ = [
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",
+    "make_global_batch",
+    "replicate_to_mesh",
+    "all_processes_min_max",
     "initialize_multihost",
 ]

@@ -57,6 +57,61 @@ def shard_batch(tree, mesh: Mesh, axis: str = "data"):
     return jax.tree.map(put, tree)
 
 
+def make_global_batch(x, mesh: Mesh, axis: str = "data",
+                      local: bool = False):
+    """A batch-sharded global array that works on ANY mesh, including one
+    spanning multiple hosts.
+
+    Single-process meshes reduce to a plain ``device_put``.  On a
+    multi-process mesh a plain ``device_put`` of a host array raises (it
+    cannot populate non-addressable shards — the round-2 gap at
+    train/harness.py:327), so the array is assembled per process:
+
+    - ``local=False``: every process holds the FULL array (e.g. all load
+      the same dataset, or computed it deterministically); each device
+      reads its own slice via ``make_array_from_callback``.
+    - ``local=True``: each process holds only ITS rows (e.g. per-host
+      dataset shards) — ``make_array_from_process_local_data`` stitches
+      the global batch; the global leading dim is the sum over processes.
+    """
+    sh = batch_sharding(mesh, axis)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sh)
+    x = np.asarray(x)
+    if local:
+        return jax.make_array_from_process_local_data(sh, x)
+    return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+
+def replicate_to_mesh(tree, mesh: Mesh):
+    """Replicate a pytree (identical on every process) over ``mesh``,
+    multi-host safe."""
+    sh = replicated_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sh)
+
+    def rep(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    return jax.tree.map(rep, tree)
+
+
+def all_processes_min_max(x) -> tuple:
+    """(global_min, global_max) of a host array across processes — for
+    data-dependent constants (e.g. loss box bounds) that must be identical
+    on every host when each host only sees its own data shard."""
+    lo, hi = float(np.min(x)), float(np.max(x))
+    if jax.process_count() == 1:
+        return lo, hi
+    from jax.experimental import multihost_utils
+
+    both = multihost_utils.process_allgather(
+        np.asarray([lo, hi], np.float64)
+    )
+    return float(both[:, 0].min()), float(both[:, 1].max())
+
+
 def initialize_multihost(**kwargs) -> None:
     """Initialize multi-host JAX (DCN-backed collectives between hosts).
 

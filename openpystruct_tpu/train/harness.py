@@ -162,8 +162,19 @@ def fit(
     X_val = jnp.asarray(X_val, jnp.float32)
     Y_val = jnp.asarray(Y_val, jnp.float32)
 
-    min_c = float(Y_train.min())
-    max_c = float(Y_train.max())
+    # Multi-host data contract (mesh spanning >1 process): each process
+    # passes its OWN rows of the training set (per-host dataset shards),
+    # and the FULL validation set (small; replicated).  Single process:
+    # everything is the full arrays, as before.
+    multihost = jax.process_count() > 1
+    if multihost and mesh is None:
+        raise ValueError("multi-host fit() requires a mesh")
+
+    # box-constraint bounds must be identical on every host even though
+    # each host only sees its own train rows
+    from openpystruct_tpu.parallel import all_processes_min_max
+
+    min_c, max_c = all_processes_min_max(Y_train)
     if loss_fn is None:
         def loss_fn(alpha, preds, targets):
             return trainable_l1l2_loss(
@@ -182,6 +193,17 @@ def fit(
     }
     batch_stats = variables.get("batch_stats", None)
     has_bn = batch_stats is not None
+
+    if mesh is not None:
+        # sharded global train arrays (multi-host safe: round 2's plain
+        # device_put of host arrays cannot populate non-addressable
+        # shards); after this X_train.shape[0] is the GLOBAL row count
+        from openpystruct_tpu.parallel import make_global_batch
+
+        X_train = make_global_batch(X_train, mesh, data_axis,
+                                    local=multihost)
+        Y_train = make_global_batch(Y_train, mesh, data_axis,
+                                    local=multihost)
 
     n_shards = mesh.shape[data_axis] if mesh is not None else 1
 
@@ -339,21 +361,33 @@ def fit(
     run_epochs_j = jax.jit(run_epochs, static_argnames=("n_epochs",))
 
     if mesh is not None:
-        rep = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
-        data_sh = jax.sharding.NamedSharding(
-            mesh, jax.sharding.PartitionSpec(data_axis)
-        )
+        from openpystruct_tpu.parallel import replicate_to_mesh
+
         val_sh = jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec(None, data_axis)
         )
-        X_train = jax.device_put(X_train, data_sh)
-        Y_train = jax.device_put(Y_train, data_sh)
-        Xv = jax.device_put(Xv, val_sh)
-        Yv = jax.device_put(Yv, val_sh)
+
+        def put_val(x):
+            # val arrays are full on every process (data contract above);
+            # assemble per-device from the host copy — multi-host safe
+            if not multihost:
+                return jax.device_put(x, val_sh)
+            xh = np.asarray(x)
+            return jax.make_array_from_callback(
+                xh.shape, val_sh, lambda idx: xh[idx]
+            )
+
+        Xv = put_val(Xv)
+        Yv = put_val(Yv)
         # the ragged tail need not divide the mesh; it is small — replicate
-        Xv_tail = jax.device_put(Xv_tail, rep)
-        Yv_tail = jax.device_put(Yv_tail, rep)
-        state = jax.device_put(state, rep)
+        Xv_tail = replicate_to_mesh(Xv_tail, mesh)
+        Yv_tail = replicate_to_mesh(Yv_tail, mesh)
+        state = replicate_to_mesh(jax.device_get(state), mesh) \
+            if multihost else jax.device_put(
+                state, jax.sharding.NamedSharding(
+                    mesh, jax.sharding.PartitionSpec()
+                )
+            )
 
     best = (
         jnp.asarray(jnp.inf, jnp.float32),
@@ -392,11 +426,10 @@ def fit(
             train_hist = [float(x) for x in aux["train_hist"]]
             val_hist = [float(x) for x in aux["val_hist"]]
         if mesh is not None:
-            rep = jax.sharding.NamedSharding(
-                mesh, jax.sharding.PartitionSpec()
-            )
-            state = jax.device_put(state, rep)
-            best = jax.device_put(best, rep)
+            from openpystruct_tpu.parallel import replicate_to_mesh
+
+            state = replicate_to_mesh(state, mesh)
+            best = replicate_to_mesh(best, mesh)
 
     def _save_full_state():
         import os
