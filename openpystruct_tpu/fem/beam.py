@@ -204,11 +204,7 @@ def solve_beam_batched(
     v5e; set ``use_pallas=False`` to fall back, ``interpret=True`` for CPU
     testing of the kernel).
     """
-    from openpystruct_tpu.ops.block_tridiag import pallas_solve_sym, pick_sub
-
-    if use_pallas and pick_sub(scenario.node_x.shape[-1], 36) is None:
-        # mesh too large for the VMEM-resident kernel even at slab depth 1
-        use_pallas = False
+    from openpystruct_tpu.ops.block_tridiag import pallas_solve_sym
 
     diag, upper, f = jax.vmap(
         lambda I, sc: assemble_beam_system(I, sc, E, A)

@@ -236,8 +236,9 @@ def pallas_block_tridiag_solve(diag, upper, b, interpret=False, sub=None):
       b: (B, n, 3) right-hand sides.
       interpret: run the kernel in interpreter mode (CPU testing).
       sub: slab depth; defaults to the largest that fits VMEM at this n
-        (``pick_sub``).  Raises ValueError when the mesh exceeds even
-        sub=1 — use the scan path there.
+        (``pick_sub``).  Meshes exceeding VMEM even at sub=1
+        auto-dispatch to the HBM-streaming kernel
+        (ops/block_stream.py) — the third size regime.
 
     Returns (B, n, 3) solutions.  Systems are padded to the lane tile with
     identity blocks, so padding never divides by zero.
@@ -246,10 +247,21 @@ def pallas_block_tridiag_solve(diag, upper, b, interpret=False, sub=None):
     dtype = diag.dtype
     if sub is None:
         sub = pick_sub(n, 36)
+        if sub is not None and sub < SUB:
+            # measured on v5e: once the resident kernel's slab depth
+            # drops below the full 4 sublanes, the streamed kernel wins
+            # (2.2x at n=301/sub=2, 1.6x at n=501, 4.8x vs sub=1) —
+            # shallow slabs leave most of each vreg masked, which costs
+            # more than the streamed path's HBM traffic for the
+            # materialized C/y factors
+            sub = None
     if sub is None:
-        raise ValueError(
-            f"mesh of {n} nodes exceeds the VMEM-resident kernel even at "
-            "sub=1; use fem.solve.block_tridiag_solve (scan path)"
+        from openpystruct_tpu.ops.block_stream import (
+            pallas_block_tridiag_solve_streamed,
+        )
+
+        return pallas_block_tridiag_solve_streamed(
+            diag, upper, b, interpret=interpret
         )
     tile = sub * LANES
 
