@@ -39,6 +39,10 @@ from openpystruct_tpu.fem.beam import (
     beam_min_pivot,
     solve_beam,
 )
+from openpystruct_tpu.fem.accuracy import (
+    auto_refine,
+    solve_beam_checked,
+)
 
 __all__ = [
     "beam_element_stiffness",
@@ -57,4 +61,6 @@ __all__ = [
     "assemble_beam_system",
     "beam_min_pivot",
     "solve_beam",
+    "auto_refine",
+    "solve_beam_checked",
 ]
