@@ -110,7 +110,7 @@ def fit(
     model_rng_keys: Sequence[str] = ("dropout",),
     mesh: Optional[jax.sharding.Mesh] = None,
     data_axis: str = "data",
-    epochs_per_sync: int = 1,
+    epochs_per_sync: int = 8,
     verbose: bool = False,
     metrics=None,
     live_plot=None,
@@ -127,11 +127,15 @@ def fit(
     (e.g. the Bayesian models' scaled KL).
 
     ``epochs_per_sync``: epochs executed per device round-trip (shuffling,
-    noisy steps, val evaluation and best-checkpoint selection all run
-    on-device in one scanned program).  1 reproduces the reference's
-    per-epoch early-stop check exactly; larger values amortize host/link
-    latency and may run up to ``epochs_per_sync - 1`` epochs past the stop
-    point (the returned best checkpoint can then only be equal or better).
+    noisy steps, val evaluation, best-checkpoint selection AND the
+    early-stop decision all run on-device in one scanned program, with
+    training state frozen at the stop epoch).  The trajectory, histories
+    and best checkpoint are bit-identical for any value — the knob only
+    amortizes host/link round-trip latency, which dominates small-model /
+    small-dataset training (the TFD reference configuration is ~entirely
+    dispatch-bound at 1).  Post-stop epochs inside the final chunk execute
+    as frozen no-ops (wasted device time bounded by chunk - 1 tiny
+    epochs).
 
     ``metrics``: an optional ``utils.MetricsLogger`` receiving one entry per
     epoch (train_loss, val_loss).
@@ -314,18 +318,24 @@ def fit(
         )
         return (jnp.sum(losses) + tail_loss) / (val_steps + 1)
 
-    def run_epochs(state, best, rng, epoch0, n_epochs, X_tr, Y_tr, Xv, Yv,
-                   Xvt, Yvt):
+    def run_epochs(state, best, rng, epoch0, no_improve0, n_epochs,
+                   X_tr, Y_tr, Xv, Yv, Xvt, Yvt):
         """Run ``n_epochs`` epochs entirely on-device (one jitted scan):
-        shuffle, noisy train steps, per-epoch val loss, and best-checkpoint
-        selection all stay on the device — the host only syncs once per
-        chunk.  ``best`` is (best_val, best_params, best_stats).  The data
-        arrays are explicit jit arguments (NOT closure captures: captured
+        shuffle, noisy train steps, per-epoch val loss, best-checkpoint
+        selection AND the early-stop decision all stay on the device —
+        the host only syncs once per chunk.  When patience runs out
+        mid-chunk the training state and best checkpoint FREEZE at the
+        stop epoch (remaining scanned epochs are no-ops on frozen state),
+        so any ``epochs_per_sync`` reproduces the per-epoch-sync
+        trajectory exactly; the host's own bookkeeping over the returned
+        loss arrays makes the identical stop decision and truncates.
+        ``best`` is (best_val, best_params, best_stats).  The data arrays
+        are explicit jit arguments (NOT closure captures: captured
         constants get serialized into the compile payload, which breaks
         remote-compile setups for large datasets)."""
 
         def epoch_body(carry, e_idx):
-            st, best, rng = carry
+            st, best, rng, no_improve, stopped = carry
             epoch = epoch0 + 1 + e_idx
             noise = cfg.sigma_0 * jnp.power(
                 jnp.asarray(cfg.gamma_noise, jnp.float32),
@@ -337,24 +347,38 @@ def fit(
             ]
             Xe = X_tr[perm].reshape(steps, batch, *X_tr.shape[1:])
             Ye = Y_tr[perm].reshape(steps, batch, *Y_tr.shape[1:])
-            st, tr_loss = train_epoch(st, Xe, Ye, ke, noise)
-            va_loss = val_loss_fn(st, kv, Xv, Yv, Xvt, Yvt)
+            st_new, tr_loss = train_epoch(st, Xe, Ye, ke, noise)
+            va_loss = val_loss_fn(st_new, kv, Xv, Yv, Xvt, Yvt)
 
             best_val, best_params, best_stats = best
-            improved = va_loss < best_val
+            active = ~stopped
+            improved = (va_loss < best_val) & active
             best_val = jnp.where(improved, va_loss, best_val)
             sel = lambda new, old: jax.tree.map(
                 lambda a, b: jnp.where(improved, a, b), new, old
             )
-            best_params = sel(st.params, best_params)
+            best_params = sel(st_new.params, best_params)
             if has_bn:
-                best_stats = sel(st.batch_stats, best_stats)
-            return (st, (best_val, best_params, best_stats), rng), (
-                tr_loss, va_loss,
+                best_stats = sel(st_new.batch_stats, best_stats)
+            # the stopping epoch's trained state is kept (the reference
+            # breaks AFTER the epoch, OpenPyStruct_FNN_MultiCase.py:581-585)
+            st = jax.tree.map(
+                lambda new, old: jnp.where(stopped, old, new), st_new, st
             )
+            no_improve = jnp.where(
+                active, jnp.where(improved, 0, no_improve + 1), no_improve
+            )
+            stopped = stopped | (no_improve >= cfg.patience)
+            return (
+                st, (best_val, best_params, best_stats), rng, no_improve,
+                stopped,
+            ), (tr_loss, va_loss)
 
-        (state, best, _), (tr, va) = jax.lax.scan(
-            epoch_body, (state, best, rng), jnp.arange(n_epochs)
+        (state, best, _, _, _), (tr, va) = jax.lax.scan(
+            epoch_body,
+            (state, best, rng, jnp.asarray(no_improve0, jnp.int32),
+             jnp.asarray(False)),
+            jnp.arange(n_epochs),
         )
         return state, best, tr, va
 
@@ -459,33 +483,36 @@ def fit(
         chunk = min(epochs_per_sync, cfg.num_epochs - epoch0)
         rng, sub = jax.random.split(rng)
         state, best, tr, va = run_epochs_j(
-            state, best, sub, epoch0, chunk, X_train, Y_train, Xv, Yv,
-            Xv_tail, Yv_tail,
+            state, best, sub, epoch0, epochs_no_improve, chunk,
+            X_train, Y_train, Xv, Yv, Xv_tail, Yv_tail,
         )
         tr = np.asarray(tr)
         va = np.asarray(va)
         for i in range(chunk):
+            # the device froze training at the stop epoch (run_epochs),
+            # and this loop makes the IDENTICAL stop decision from the
+            # same float values — post-stop chunk entries are no-ops on
+            # frozen state and are not recorded, so histories (and
+            # checkpoints: epoch0 == len(train_hist)) are bit-identical
+            # for ANY epochs_per_sync
+            if stopped:
+                break
             epoch = epoch0 + 1 + i
-            # every epoch of the chunk RAN on device (the stop decision is
-            # made at sync, up to epochs_per_sync-1 epochs late — see the
-            # docstring), so record them all: epoch0 == len(train_hist)
-            # stays true for checkpoints and resume numbering
             train_hist.append(float(tr[i]))
             val_hist.append(float(va[i]))
             if metrics is not None:
                 metrics.log(step=epoch, train_loss=float(tr[i]),
                             val_loss=float(va[i]))
-            if not stopped:
-                if va[i] < best_val:
-                    best_val = float(va[i])
-                    best_epoch = epoch
-                    epochs_no_improve = 0
-                else:
-                    epochs_no_improve += 1
-                    if epochs_no_improve >= cfg.patience:
-                        stopped = True
-                        if verbose:
-                            print(f"Early stopping at epoch {epoch}")
+            if va[i] < best_val:
+                best_val = float(va[i])
+                best_epoch = epoch
+                epochs_no_improve = 0
+            else:
+                epochs_no_improve += 1
+                if epochs_no_improve >= cfg.patience:
+                    stopped = True
+                    if verbose:
+                        print(f"Early stopping at epoch {epoch}")
             if verbose and not stopped:
                 print(
                     f"Epoch {epoch}/{cfg.num_epochs} | "
@@ -493,7 +520,7 @@ def fit(
                 )
         if live_plot is not None:
             live_plot.update(train_hist, val_hist)
-        epoch0 += chunk
+        epoch0 = len(train_hist)
         chunks_done += 1
         if checkpoint_dir and (
             chunks_done % checkpoint_every == 0
