@@ -18,6 +18,12 @@ from openpystruct_tpu.datagen.generate import (
     generate_to_shards,
     shards_to_json,
 )
+from openpystruct_tpu.datagen.frames import (
+    FrameBatch,
+    frame_batch_to_columnar,
+    generate_frame_batch,
+    sample_frame_loads,
+)
 from openpystruct_tpu.datagen.io import (
     batch_to_columnar,
     write_json_dataset,
@@ -35,6 +41,10 @@ __all__ = [
     "generate_dataset_json",
     "generate_to_shards",
     "shards_to_json",
+    "FrameBatch",
+    "frame_batch_to_columnar",
+    "generate_frame_batch",
+    "sample_frame_loads",
     "batch_to_columnar",
     "write_json_dataset",
     "read_json_dataset",

@@ -114,9 +114,18 @@ def _element_transform(dx, dy, L):
 
 
 def frame_system(I, structure: FrameStructure, cfg: FrameConfig,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, udl=None, lateral_load=None):
     """Assemble the constrained dense system K(I) u = f and per-element
-    (k_local, T, f_eq_local) for force recovery."""
+    (k_local, T, f_eq_local) for force recovery.
+
+    ``udl``/``lateral_load`` override the config scalars with traced
+    values — the hook that lets the batched driver vmap over per-lane
+    load scenarios (the reference only ever solves one frame at a time,
+    FrameOpt_Discrete_Beta.py:166-206)."""
+    if udl is None:
+        udl = jnp.asarray(cfg.udl, dtype)
+    if lateral_load is None:
+        lateral_load = jnp.asarray(cfg.lateral_load, dtype)
     xy = structure.node_xy.astype(dtype)
     e = structure.elems
     d = xy[e[:, 1]] - xy[e[:, 0]]
@@ -129,9 +138,9 @@ def frame_system(I, structure: FrameStructure, cfg: FrameConfig,
         precision=jax.lax.Precision.HIGHEST,
     )
 
-    # Uniform load on beams only: local (Wy, Wx) both = cfg.udl
+    # Uniform load on beams only: local (Wy, Wx) both = udl
     # (the reference's two-argument eleLoad, FrameOpt:131).
-    w = jnp.where(structure.is_beam, jnp.asarray(cfg.udl, dtype), 0.0)
+    w = jnp.where(structure.is_beam, jnp.asarray(udl, dtype), 0.0)
     half_y = w * L / 2.0
     m = w * L * L / 12.0
     half_x = w * L / 2.0
@@ -153,7 +162,7 @@ def frame_system(I, structure: FrameStructure, cfg: FrameConfig,
     f = jnp.zeros((3 * N,), dtype)
     f = f.at[dof].add(f_global_e)
     lat = jnp.where(
-        structure.lateral_mask, jnp.asarray(cfg.lateral_load, dtype), 0.0
+        structure.lateral_mask, jnp.asarray(lateral_load, dtype), 0.0
     )
     f = f.at[3 * jnp.arange(N)].add(lat)
 
@@ -169,12 +178,16 @@ def frame_system(I, structure: FrameStructure, cfg: FrameConfig,
 
 def solve_frame(I, structure: FrameStructure,
                 cfg: FrameConfig = FrameConfig(),
-                dtype=jnp.float32) -> FrameSolution:
-    """Linear static solve + global end-force recovery (vmappable over I).
+                dtype=jnp.float32, udl=None,
+                lateral_load=None) -> FrameSolution:
+    """Linear static solve + global end-force recovery (vmappable over I
+    and the load overrides).
 
     Matches ``ops.analyze(1)`` + ``eleResponse(e,'forces')``
     (FrameOpt_Discrete_Beta.py:139,149-153)."""
-    K, f, (k_local, T, f_local, L) = frame_system(I, structure, cfg, dtype)
+    K, f, (k_local, T, f_local, L) = frame_system(
+        I, structure, cfg, dtype, udl=udl, lateral_load=lateral_load
+    )
     u = jnp.linalg.solve(K, f)
     N = structure.num_nodes
     u_nodes = u.reshape(N, 3)

@@ -11,6 +11,7 @@ from openpystruct_tpu.opt.frame_opt import (
     FrameOptResult,
     frame_loss,
     optimize_frame,
+    optimize_frame_batched,
 )
 
 __all__ = [
@@ -23,4 +24,5 @@ __all__ = [
     "FrameOptResult",
     "frame_loss",
     "optimize_frame",
+    "optimize_frame_batched",
 ]

@@ -65,8 +65,11 @@ def optimize_frame(
     grad_mode: str = "semi",
     record_history: bool = False,
     dtype=jnp.float32,
+    udl=None,
+    lateral_load=None,
 ) -> FrameOptResult:
-    """Vmappable over I0 (and over batches of load variations via closure)."""
+    """Vmappable over I0 and the per-scenario ``udl``/``lateral_load``
+    overrides (see :func:`optimize_frame_batched`)."""
     if I0 is None:
         I0 = jnp.full((structure.num_elems,), cfg.I0, dtype)
     if lr is None:
@@ -80,7 +83,8 @@ def optimize_frame(
         # stop the gradient at the solve INPUT — otherwise XLA compiles the
         # (dead) dense-LU backward of every while_loop iteration.
         I_solve = jax.lax.stop_gradient(I) if grad_mode == "semi" else I
-        sol = solve_frame(I_solve, structure, cfg, dtype)
+        sol = solve_frame(I_solve, structure, cfg, dtype, udl=udl,
+                          lateral_load=lateral_load)
         comps = frame_loss(I, sol, cfg, alpha_moment, alpha_shear, grad_mode)
         return comps.total, (sol, comps)
 
@@ -126,10 +130,50 @@ def optimize_frame(
     # Re-run the analysis at the converged I before reporting, as the
     # reference does (FrameOpt_Discrete_Beta.py:217-219) — the in-loop
     # solution trails the final clamp/step by one iteration.
-    sol_f = solve_frame(jax.lax.stop_gradient(c["I"]), structure, cfg, dtype)
+    sol_f = solve_frame(jax.lax.stop_gradient(c["I"]), structure, cfg,
+                        dtype, udl=udl, lateral_load=lateral_load)
     comps_f = frame_loss(c["I"], sol_f, cfg, alpha_moment, alpha_shear,
                          grad_mode)
     return FrameOptResult(
         I=c["I"], solution=sol_f, loss=comps_f,
         n_epochs=c["epoch"], converged=c["done"], loss_history=c["hist"],
     )
+
+
+def optimize_frame_batched(
+    structure: FrameStructure,
+    udl,
+    lateral_load,
+    cfg: FrameConfig = FrameConfig(),
+    I0: Optional[jax.Array] = None,
+    lr: Optional[float] = None,
+    alpha_moment: float = 1e-2,
+    alpha_shear: float = 1e-2,
+    grad_mode: str = "semi",
+    dtype=jnp.float32,
+) -> FrameOptResult:
+    """Batched frame optimization: one topology, ``B`` load scenarios.
+
+    The TPU-first frame driver the reference has no analog of (its frame
+    script optimizes exactly one random frame serially,
+    OpenPyStruct_FrameOpt_Discrete_Beta.py:166-206): ``udl`` and
+    ``lateral_load`` are (B,) per-scenario loads, the dense per-lane
+    systems batch into one (B, 3N, 3N) LU on the MXU, and each lane
+    carries its own early-stopping state (converged lanes freeze under
+    the shared while_loop, exactly like ``vmap`` semantics — because it
+    IS vmap of the single-scenario loop).
+
+    Topology is static (index arrays fix the trace), so batches group by
+    (bays, stories); jit wrappers cache per topology shape.
+    """
+    B = jnp.shape(udl)[0]
+    if I0 is None:
+        I0 = jnp.full((B, structure.num_elems), cfg.I0, dtype)
+
+    return jax.vmap(
+        lambda I0_, w, p: optimize_frame(
+            structure, cfg, I0=I0_, lr=lr, alpha_moment=alpha_moment,
+            alpha_shear=alpha_shear, grad_mode=grad_mode, dtype=dtype,
+            udl=w, lateral_load=p,
+        )
+    )(I0, jnp.asarray(udl, dtype), jnp.asarray(lateral_load, dtype))

@@ -1,0 +1,100 @@
+"""Batched frame driver tests (the TPU-first frame story round 2 lacked).
+
+Reference baseline: one frame optimized serially per run
+(OpenPyStruct_FrameOpt_Discrete_Beta.py:166-206).  Here a batch of load
+scenarios shares one program; per-lane trajectories must equal the
+single-scenario loop's.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openpystruct_tpu.config import FrameConfig
+from openpystruct_tpu.datagen import (
+    frame_batch_to_columnar,
+    generate_frame_batch,
+    sample_frame_loads,
+)
+from openpystruct_tpu.fem import build_frame
+from openpystruct_tpu.opt import optimize_frame, optimize_frame_batched
+from openpystruct_tpu.parallel import default_mesh
+
+FAST = FrameConfig(max_epochs=40)
+
+
+def test_batched_matches_single():
+    cfg = FAST
+    structure = build_frame(2, 2, cfg)
+    udl = jnp.asarray([-1e4, -0.7e4, -1.3e4], jnp.float32)
+    lat = jnp.asarray([1e4, 1.2e4, 0.6e4], jnp.float32)
+    res_b = jax.jit(
+        lambda u, p: optimize_frame_batched(structure, u, p, cfg)
+    )(udl, lat)
+    for i in range(3):
+        res_1 = jax.jit(
+            lambda u, p: optimize_frame(structure, cfg, udl=u,
+                                        lateral_load=p)
+        )(udl[i], lat[i])
+        np.testing.assert_allclose(
+            np.asarray(res_b.I)[i], np.asarray(res_1.I), rtol=1e-6
+        )
+        assert int(res_b.n_epochs[i]) == int(res_1.n_epochs)
+
+    # default loads reproduce the reference configuration exactly
+    res_d = jax.jit(lambda: optimize_frame(structure, cfg))()
+    res_b2 = jax.jit(
+        lambda u, p: optimize_frame_batched(structure, u, p, cfg)
+    )(jnp.full((1,), cfg.udl, jnp.float32),
+      jnp.full((1,), cfg.lateral_load, jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(res_b2.I)[0], np.asarray(res_d.I), rtol=1e-6
+    )
+
+
+def test_generate_frame_batch_and_columnar():
+    structure, batch = generate_frame_batch(
+        jax.random.PRNGKey(0), 8, num_bays=3, num_stories=2, cfg=FAST
+    )
+    valid = np.asarray(batch.valid)
+    assert valid.all()
+    I = np.asarray(batch.result.I)
+    assert I.shape == (8, structure.num_elems)
+    assert (I >= 1e-8).all()
+    # loads actually vary and optimization responds to them
+    assert len(np.unique(np.asarray(batch.udl))) == 8
+    assert np.std(I.sum(axis=1)) > 0.0
+
+    cols = frame_batch_to_columnar(structure, batch)
+    assert cols["num_bays"] == 3 and cols["num_stories"] == 2
+    assert len(cols["I_values"]) == 8
+    assert len(cols["I_values"][0]) == structure.num_elems
+    assert len(cols["displacements"][0]) == structure.num_nodes
+
+
+def test_generate_frame_batch_sharded_matches_unsharded():
+    mesh = default_mesh(("data",))
+    _, b0 = generate_frame_batch(
+        jax.random.PRNGKey(3), 16, num_bays=2, num_stories=2, cfg=FAST
+    )
+    _, b1 = generate_frame_batch(
+        jax.random.PRNGKey(3), 16, num_bays=2, num_stories=2, cfg=FAST,
+        mesh=mesh,
+    )
+    np.testing.assert_allclose(
+        np.asarray(b0.result.I), np.asarray(b1.result.I), rtol=1e-6
+    )
+
+
+def test_sample_frame_loads_distribution():
+    cfg = FrameConfig()
+    udl, lat = sample_frame_loads(jax.random.PRNGKey(1), 4096, cfg)
+    udl, lat = np.asarray(udl), np.asarray(lat)
+    # scaled versions of the reference loads, right sign and range
+    assert (udl <= 0.5 * cfg.udl).all() and (udl >= 1.5 * cfg.udl).all()
+    assert (lat >= 0.5 * cfg.lateral_load).all()
+    assert (lat <= 1.5 * cfg.lateral_load).all()
+    # roughly uniform: mean near the midpoint
+    assert abs(udl.mean() / cfg.udl - 1.0) < 0.02
