@@ -39,6 +39,14 @@ def _add_frame_opt(sub):
     p.add_argument("--stories", type=int, default=None)
     p.add_argument("--epochs", type=int, default=5000)
     p.add_argument("--plot", type=str, default=None)
+    p.add_argument("--batch", type=int, default=None,
+                   help="optimize BATCH load scenarios of this topology in "
+                        "one program (the batched TPU driver; the "
+                        "reference runs one frame per invocation)")
+    p.add_argument("--output", type=str, default=None,
+                   help="with --batch: write the columnar results JSON here")
+    p.add_argument("--mesh", action="store_true",
+                   help="with --batch: shard scenarios over local devices")
 
 
 def _add_datagen(sub):
@@ -185,6 +193,29 @@ def cmd_frame_opt(args):
     stories = args.stories or pyrandom.randint(1, 10)
     print(f"Generated frame with {bays} bay(s) and {stories} story(ies).")
     cfg = FrameConfig(max_epochs=args.epochs)
+    if args.batch:
+        from openpystruct_tpu.datagen import (
+            frame_batch_to_columnar,
+            generate_frame_batch,
+        )
+        from openpystruct_tpu.parallel import default_mesh
+
+        mesh = default_mesh(("data",)) if args.mesh else None
+        t0 = time.time()
+        st, batch = generate_frame_batch(
+            jax.random.PRNGKey(args.seed), args.batch, bays, stories, cfg,
+            mesh=mesh,
+        )
+        valid = int(np.asarray(batch.valid).sum())
+        dt = time.time() - t0
+        print(f"{args.batch} load scenarios optimized in {dt:.1f}s "
+              f"({valid} valid, {args.batch/dt:.1f} frames/s)")
+        if args.output:
+            cols = frame_batch_to_columnar(st, batch)
+            with open(args.output, "w") as fh:
+                json.dump(cols, fh)
+            print(f"results written to {args.output}")
+        return
     st = build_frame(bays, stories, cfg)
     t0 = time.time()
     res = jax.jit(lambda: optimize_frame(st, cfg, record_history=True))()

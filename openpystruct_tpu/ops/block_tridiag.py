@@ -159,6 +159,139 @@ def _thomas_kernel(diag_ref, upper_ref, b_ref, x_ref, c_scr, y_scr):
     jax.lax.fori_loop(0, n - 1, bwd, 0)
 
 
+def _thomas_kernel_bidi(diag_ref, upper_ref, b_ref, x_ref, c_scr, y_scr,
+                        sinv_scr):
+    """Bidirectional block Thomas: eliminate from BOTH ends toward the
+    middle, meet at one pivot row, back-substitute outward.
+
+    Hypothesis tested: the standard sweep is one serial dependency chain
+    of ~40 VPU ops per node, so two INDEPENDENT chains should interleave
+    in the pipeline and give ~2x if the kernel were latency-bound.
+    MEASURED RESULT (v5e, B=8192/n=101): 5.61M vs 6.34M solves/s — no
+    win; the marginal per-tile cost (~40 us per 512-lane tile once the
+    ~1 ms dispatch is excluded) shows the production kernel is already
+    VPU-THROUGHPUT-bound, and the bidi variant just pays the extra
+    meeting-row work.  Kept behind ``bidi=True`` as a documented
+    experiment (the balance could flip on hardware with deeper pipelines
+    or slower VPU issue).
+
+    Left chain (i rising):  S_i = D_i - U_{i-1}^T Sinv_{i-1} U_{i-1},
+      y_i = Sinv_i (b_i - U_{i-1}^T y_{i-1}),  C_i = Sinv_i U_i.
+    Right chain (k falling): S'_k = D_k - U_k S'inv_{k+1} U_k^T,
+      y'_k = S'inv_k (b_k - U_k y'_{k+1}),  C'_k = S'inv_k U_{k-1}^T.
+    Meeting row m: S_m = D_m - U_{m-1}^T Sinv_{m-1} U_{m-1}
+                       - U_m S'inv_{m+1} U_m^T,
+      x_m = Sinv_m (b_m - U_{m-1}^T y_{m-1} - U_m y'_{m+1}).
+    Back-sub: x_i = y_i - C_i x_{i+1} (left, falling);
+              x_k = y'_k - C'_k x_{k-1} (right, rising).
+
+    Scratch ranges are disjoint per chain (left uses [0, m), right
+    (m, n)), so the buffers are shared.  Requires n >= 3.
+    """
+    n = diag_ref.shape[1]
+    m = n // 2
+
+    def put_mat(scr, i, mat):
+        for a in range(3):
+            for b in range(3):
+                scr[i, a, b] = mat[a][b]
+
+    def put_vec(scr, i, v):
+        for a in range(3):
+            scr[i, a] = v[a]
+
+    # chain heads
+    sinv0 = _inv3_slabs(_read_mat(diag_ref, 0))
+    put_mat(sinv_scr, 0, sinv0)
+    put_mat(c_scr, 0, _mm(sinv0, _read_mat(upper_ref, 0)))
+    put_vec(y_scr, 0, _mv(sinv0, _read_vec(b_ref, 0)))
+
+    sinvN = _inv3_slabs(_read_mat(diag_ref, n - 1))
+    put_mat(sinv_scr, n - 1, sinvN)
+    put_mat(c_scr, n - 1, _mm(sinvN, _t(_read_mat(upper_ref, n - 2))))
+    put_vec(y_scr, n - 1, _mv(sinvN, _read_vec(b_ref, n - 1)))
+
+    def fwd(j, _):
+        # left step i = j (runs while j < m)
+        i = jnp.minimum(j, m - 1)          # clamp: idle once past m-1
+        li = j <= m - 1
+        u_prev = _t(_read_mat(upper_ref, i - 1))
+        c_prev = [[c_scr[i - 1, a, b] for b in range(3)] for a in range(3)]
+        s = _sub_m(_read_mat(diag_ref, i), _mm(u_prev, c_prev))
+        sinv = _inv3_slabs(s)
+        y = _mv(sinv, _sub_v(_read_vec(b_ref, i),
+                             _mv(u_prev, [y_scr[i - 1, a]
+                                          for a in range(3)])))
+        c = _mm(sinv, _read_mat(upper_ref, i))
+
+        # right step k = n-1-j (runs while k > m)
+        k = jnp.maximum(n - 1 - j, m + 1)
+        u_k = _read_mat(upper_ref, jnp.minimum(k, n - 2))
+        cp_next = [[c_scr[k + 1, a, b] for b in range(3)]
+                   for a in range(3)]
+        sp = _sub_m(_read_mat(diag_ref, k), _mm(u_k, cp_next))
+        spinv = _inv3_slabs(sp)
+        yp = _mv(spinv, _sub_v(_read_vec(b_ref, k),
+                               _mv(u_k, [y_scr[k + 1, a]
+                                         for a in range(3)])))
+        cp = _mm(spinv, _t(_read_mat(upper_ref, k - 1)))
+
+        # masked stores (jnp.where, NOT arithmetic blends: the untouched
+        # slot may hold NaN garbage and 0*NaN would poison the store):
+        # once a chain reaches the middle its clamped index would
+        # otherwise overwrite live data
+        ri = n - 1 - j >= m + 1
+        for a in range(3):
+            y_scr[i, a] = jnp.where(li, y[a], y_scr[i, a])
+            y_scr[k, a] = jnp.where(ri, yp[a], y_scr[k, a])
+            for b in range(3):
+                sinv_scr[i, a, b] = jnp.where(li, sinv[a][b],
+                                              sinv_scr[i, a, b])
+                c_scr[i, a, b] = jnp.where(li, c[a][b], c_scr[i, a, b])
+                sinv_scr[k, a, b] = jnp.where(ri, spinv[a][b],
+                                              sinv_scr[k, a, b])
+                c_scr[k, a, b] = jnp.where(ri, cp[a][b], c_scr[k, a, b])
+        return 0
+
+    jax.lax.fori_loop(1, 1 + max(m - 1, n - 2 - m), fwd, 0)
+
+    # meeting row m: both neighbor chains are complete
+    u_lm = _t(_read_mat(upper_ref, m - 1))     # couples m-1 -> m
+    u_rm = _read_mat(upper_ref, m)             # couples m -> m+1
+    c_lm = [[c_scr[m - 1, a, b] for b in range(3)] for a in range(3)]
+    spinv_r = [[sinv_scr[m + 1, a, b] for b in range(3)] for a in range(3)]
+    s_m = _sub_m(
+        _sub_m(_read_mat(diag_ref, m), _mm(u_lm, c_lm)),
+        _mm(_mm(u_rm, spinv_r), _t(u_rm)),
+    )
+    rhs_m = _sub_v(
+        _sub_v(_read_vec(b_ref, m),
+               _mv(u_lm, [y_scr[m - 1, a] for a in range(3)])),
+        _mv(u_rm, [y_scr[m + 1, a] for a in range(3)]),
+    )
+    x_m = _mv(_inv3_slabs(s_m), rhs_m)
+    for a in range(3):
+        x_ref[0, m, a] = x_m[a]
+
+    def bwd(j, _):
+        i = jnp.maximum(m - j, 0)                  # left: falling from m-1
+        li = m - j >= 0
+        k = jnp.minimum(m + j, n - 1)              # right: rising from m+1
+        ri = m + j <= n - 1
+        cx_l = _mv([[c_scr[i, a, b] for b in range(3)] for a in range(3)],
+                   [x_ref[0, i + 1, a] for a in range(3)])
+        x_l = _sub_v([y_scr[i, a] for a in range(3)], cx_l)
+        cx_r = _mv([[c_scr[k, a, b] for b in range(3)] for a in range(3)],
+                   [x_ref[0, k - 1, a] for a in range(3)])
+        x_r = _sub_v([y_scr[k, a] for a in range(3)], cx_r)
+        for a in range(3):
+            x_ref[0, i, a] = jnp.where(li, x_l[a], x_ref[0, i, a])
+            x_ref[0, k, a] = jnp.where(ri, x_r[a], x_ref[0, k, a])
+        return 0
+
+    jax.lax.fori_loop(1, max(m, n - 1 - m) + 1, bwd, 0)
+
+
 def _to_slabs(x, n_tail, sub=SUB):
     """(B, n, *tail) -> (T, n, *tail, sub, LANES) with B padded to the
     tile (sub * LANES)."""
@@ -226,8 +359,9 @@ def _pallas_solve_bwd(refine, interpret, res, g):
 pallas_solve_sym.defvjp(_pallas_solve_fwd, _pallas_solve_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "sub"))
-def pallas_block_tridiag_solve(diag, upper, b, interpret=False, sub=None):
+@functools.partial(jax.jit, static_argnames=("interpret", "sub", "bidi"))
+def pallas_block_tridiag_solve(diag, upper, b, interpret=False, sub=None,
+                               bidi=False):
     """Solve K x = b for a batch of symmetric block-tridiagonal systems.
 
     Args:
@@ -299,13 +433,13 @@ def pallas_block_tridiag_solve(diag, upper, b, interpret=False, sub=None):
         scratch_shapes=[
             pltpu.VMEM((n, 3, 3, sub, LANES), dtype),
             pltpu.VMEM((n, 3, sub, LANES), dtype),
-        ],
+        ] + ([pltpu.VMEM((n, 3, 3, sub, LANES), dtype)] if bidi else []),
     )
     from openpystruct_tpu.ops.beam_kernel import _kernel_trace_scope
 
     with _kernel_trace_scope(dtype):
         x_s = pl.pallas_call(
-            _thomas_kernel,
+            _thomas_kernel_bidi if bidi else _thomas_kernel,
             out_shape=jax.ShapeDtypeStruct((T, n, 3, sub, LANES), dtype),
             grid_spec=grid_spec,
             interpret=interpret,

@@ -33,6 +33,18 @@ def test_cli_beam_opt_runs():
 
 
 @pytest.mark.slow
+def test_cli_frame_opt_batch(tmp_path):
+    out = str(tmp_path / "frames.json")
+    r = run_cli("frame-opt", "--bays", "2", "--stories", "1", "--epochs",
+                "10", "--batch", "6", "--output", out)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "load scenarios optimized" in r.stdout
+    data = json.load(open(out))
+    assert len(data["I_values"]) == 6
+    assert data["num_bays"] == 2 and data["num_stories"] == 1
+
+
+@pytest.mark.slow
 def test_cli_datagen_train_predict_roundtrip(tmp_path):
     ds = str(tmp_path / "ds.json")
     r = run_cli("datagen", "--num-samples", "48", "--batch-size", "48",

@@ -135,6 +135,44 @@ def test_slab_depth_parity_and_pick():
                                    atol=1e-4, rtol=1e-4)
 
 
+def test_bidi_kernel_parity():
+    """Bidirectional (two-chain) elimination vs the standard sweep: same
+    factorization family, different elimination ORDER — solutions agree
+    to float32 rounding on well-conditioned systems, at every parity of
+    n and with batch padding."""
+    for n, B, seed in ((31, 16, 0), (32, 3, 1), (21, 5, 2)):
+        diag, upper, f = beam_batch(B=B, n=n, seed=seed)
+        truth = _f64_truth(diag, upper, f)
+        err_std = _rel_err(
+            pallas_block_tridiag_solve(diag, upper, f, interpret=True),
+            truth,
+        )
+        err_bidi = _rel_err(
+            pallas_block_tridiag_solve(diag, upper, f, interpret=True,
+                                       bidi=True),
+            truth,
+        )
+        assert err_bidi < max(err_std * 10, 1e-5), (n, err_bidi, err_std)
+
+    # random SPD, tight elementwise agreement
+    key = jax.random.PRNGKey(7)
+    kd, ku, kb = jax.random.split(key, 3)
+    B, n, k = 8, 23, 3
+    diag = (
+        jax.random.normal(kd, (B, n, k, k), jnp.float32) * 0.1
+        + jnp.eye(k, dtype=jnp.float32) * 4.0
+    )
+    diag = (diag + jnp.swapaxes(diag, -1, -2)) / 2
+    upper = jax.random.normal(ku, (B, n - 1, k, k), jnp.float32) * 0.3
+    b = jax.random.normal(kb, (B, n, k), jnp.float32)
+    x_std = pallas_block_tridiag_solve(diag, upper, b, interpret=True)
+    x_bidi = pallas_block_tridiag_solve(diag, upper, b, interpret=True,
+                                        bidi=True)
+    np.testing.assert_allclose(
+        np.asarray(x_bidi), np.asarray(x_std), rtol=2e-5, atol=1e-6
+    )
+
+
 def test_large_mesh_auto_fallback():
     """Past the VMEM-resident range the batched paths must route around
     the kernels instead of failing at compile time."""
