@@ -122,9 +122,11 @@ def solve_beam_checked(
 
     No manual precision knob: float32 + adaptive compensated refinement
     first; lanes whose measured error estimate exceeds ``tol`` are
-    re-solved on the double-double fused kernel (or, past its ~430-node
-    VMEM range, in host float64 — the reference's own arithmetic; this is
-    a diagnostic API, not a hot loop).  Returns ``(BeamSolution, info)``
+    re-solved on the double-double fused kernel — past its ~430-node VMEM
+    range the HBM-streaming dd solver takes over on TPU (no mesh
+    ceiling; ops/block_stream_dd.py), while off-TPU hosts use native
+    float64 (the reference's own arithmetic; this is a diagnostic API,
+    not a hot loop).  Returns ``(BeamSolution, info)``
     where ``info`` has per-lane ``est`` (relative error estimate),
     ``used_dd`` (escalated-lane mask) and ``pivot`` (high-precision Schur
     pivots for escalated lanes, NaN elsewhere).
@@ -188,10 +190,25 @@ def solve_beam_checked(
                 float(E), float(A),
                 interpret=jax.default_backend() != "tpu",
             )
+        elif jax.default_backend() == "tpu":
+            # meshes past the resident dd kernel's VMEM range stay
+            # ON-CHIP: the HBM-streaming dd solver has no mesh ceiling
+            # (ops/block_stream_dd.py — chunked node axis, dd recurrence
+            # carries in scratch)
+            from openpystruct_tpu.ops.block_stream_dd import (
+                solve_beam_dd_streamed,
+            )
+
+            free = (~jax.vmap(constraint_mask)(scenario)).astype(I.dtype)
+            u_hi, piv_hi = solve_beam_dd_streamed(
+                I[gi], Le.astype(I.dtype)[gi], free[gi],
+                scenario.point_loads[gi], scenario.udl[gi],
+                float(E), float(A),
+            )
         else:
-            # meshes past the dd kernel's VMEM range: host float64 scan
-            # solve (the reference's own arithmetic) — this is an eager
-            # diagnostic API, not the datagen/optimizer hot loop
+            # off-TPU (CPU tests/tools): float64 is native there, so the
+            # scan solve in f64 — the reference's own arithmetic — beats
+            # interpreting the streamed dd kernel
             from openpystruct_tpu.fem.beam import (
                 beam_min_pivot,
                 solve_beam,
