@@ -332,6 +332,19 @@ def _rescue_batch(
     return _merge_rescued(batch, out, jnp.asarray(put))
 
 
+def _auto_rescue_mode(num_nodes: int) -> str:
+    """Pick the rescue arithmetic for ``rescue=True`` auto mode: the
+    on-device dd kernel wherever Pallas compiles natively AND the mesh
+    fits its VMEM range (``fits_dd``); past that ceiling — or off-TPU,
+    where the kernel would run in (slow) interpreter mode anyway — the
+    host-f64 path."""
+    from openpystruct_tpu.ops.beam_kernel_dd import fits_dd
+
+    if jax.default_backend() == "tpu" and fits_dd(num_nodes):
+        return "dd"
+    return "f64"
+
+
 def generate_batch(
     key,
     batch_size: int,
@@ -371,10 +384,7 @@ def generate_batch(
         # pivot check drops (module docstring); elsewhere skip the host sync
         rescue = scen_cfg.random_bridge
     if rescue is True:
-        # auto mode: the on-device dd kernel wherever Pallas compiles
-        # natively; the host-f64 path where the dd kernel would have to
-        # run in (slow) interpreter mode anyway
-        rescue = "dd" if jax.default_backend() == "tpu" else "f64"
+        rescue = _auto_rescue_mode(scen_cfg.num_nodes)
     keys = jax.random.split(key, batch_size)
 
     fn = _make_batch_fn(

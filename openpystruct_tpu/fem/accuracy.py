@@ -109,6 +109,33 @@ def _scaled_solve_with_estimate(diag, upper, f, refine_max: int = 4):
     return x, s, est
 
 
+def _min_pivot_batch(diag, upper):
+    from openpystruct_tpu.fem.solve import block_tridiag_min_pivot
+
+    return jax.vmap(block_tridiag_min_pivot)(diag, upper)
+
+
+# jit caches live on the wrapper object (CLAUDE.md) — module-level /
+# lru_cached wrappers, never fresh jax.jit(...) per call
+_min_pivot_batch = jax.jit(_min_pivot_batch)
+
+
+@functools.lru_cache(maxsize=8)
+def _f64_solve_fns(E: float, A: float):
+    """Jitted f64 batched solve + pivot for the off-TPU escalation path
+    (cached per material constants; traced under the enable_x64 scope of
+    the caller)."""
+    from openpystruct_tpu.fem.beam import beam_min_pivot, solve_beam
+
+    disp = jax.jit(jax.vmap(
+        lambda I_, sc: solve_beam(I_, sc, E, A).displacements
+    ))
+    piv = jax.jit(jax.vmap(
+        lambda I_, sc: beam_min_pivot(I_, sc, E, A)
+    ))
+    return disp, piv
+
+
 def solve_beam_checked(
     I,
     scenario: BeamScenario,
@@ -149,17 +176,18 @@ def solve_beam_checked(
 
     x, s, est = _scaled_solve_with_estimate(diag, upper, f, refine_max)
     u = x * s
+    # Non-finite estimates mean the f32 factorization itself blew up
+    # (inf/NaN pivots); NaN compares False against every threshold, so
+    # sanitize HERE or such lanes would be silently "certified".
     est = np.array(est)
+    est = np.where(np.isfinite(est), est, np.inf)
 
     # the correction estimate certifies ACCURACY but cannot see
     # SINGULARITY (a singular factorization produces self-consistent
     # garbage whose corrections look small) — the Schur-pivot detector
     # covers that axis, exactly as in datagen validity filtering
-    from openpystruct_tpu.fem.solve import block_tridiag_min_pivot
-
-    piv32 = np.asarray(
-        jax.jit(jax.vmap(block_tridiag_min_pivot))(diag, upper)
-    )
+    piv32 = np.asarray(_min_pivot_batch(diag, upper))
+    piv32 = np.where(np.isfinite(piv32), piv32, 0.0)
     flagged = np.flatnonzero((est > tol) | (piv32 < 1e-9))
     used_dd = np.zeros(B, bool)
     pivot = np.full(B, np.nan, np.float32)
@@ -209,11 +237,6 @@ def solve_beam_checked(
             # off-TPU (CPU tests/tools): float64 is native there, so the
             # scan solve in f64 — the reference's own arithmetic — beats
             # interpreting the streamed dd kernel
-            from openpystruct_tpu.fem.beam import (
-                beam_min_pivot,
-                solve_beam,
-            )
-
             sub_scen = jax.tree.map(
                 lambda x: np.asarray(x)[gidx], scenario
             )
@@ -227,12 +250,9 @@ def solve_beam_checked(
                     sub_scen,
                 )
                 I64 = jnp.asarray(np.asarray(I)[gidx], jnp.float64)
-                sol64 = jax.jit(jax.vmap(
-                    lambda I_, sc: solve_beam(I_, sc, E, A).displacements
-                ))(I64, scen64)
-                piv64 = jax.jit(jax.vmap(
-                    lambda I_, sc: beam_min_pivot(I_, sc, E, A)
-                ))(I64, scen64)
+                disp_fn, piv_fn = _f64_solve_fns(float(E), float(A))
+                sol64 = disp_fn(I64, scen64)
+                piv64 = piv_fn(I64, scen64)
                 u_hi = np.asarray(sol64).astype(np.float32)
                 piv_hi = np.asarray(piv64).astype(np.float32)
         u = np.array(u)
@@ -243,10 +263,21 @@ def solve_beam_checked(
         pivot[flagged] = piv_np
 
         # dd certification: error ~ (measured f32 amplification) x
-        # eps_dd/eps32; singular systems are flagged by the dd pivot
-        est_dd = est[flagged] * (_EPS_DD / _EPS32)
+        # eps_dd/eps32.  Lanes whose f32 solve was non-finite have no
+        # measured amplification — certify those from the dd pivot
+        # instead (normwise bound for the Jacobi-scaled system:
+        # amplification ~ 1/min pivot).  Singular systems are flagged by
+        # the dd pivot; `~(piv > floor)` (not `piv < floor`) so a NaN
+        # pivot counts as failed, never as certified.
+        est_f32 = est[flagged]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            est_dd = np.where(
+                np.isfinite(est_f32),
+                est_f32 * (_EPS_DD / _EPS32),
+                _EPS_DD / np.abs(piv_np),
+            )
         est[flagged] = est_dd
-        bad = (est_dd > tol) | (piv_np < _SINGULAR_PIVOT)
+        bad = ~(est_dd <= tol) | ~(piv_np > _SINGULAR_PIVOT)
         if bad.any():
             msg = (
                 f"{int(bad.sum())} of {B} systems cannot be certified at "

@@ -254,26 +254,11 @@ def block_tridiag_min_pivot(diag, upper, lower=None):
 # long-span beams.  All element-wise VPU work.
 # ---------------------------------------------------------------------------
 
-_SPLIT = 4097.0  # 2^12 + 1, Dekker split constant for float32 (24-bit mantissa)
-
-
-def _two_prod(a, b):
-    p = a * b
-    ca = _SPLIT * a
-    ahi = ca - (ca - a)
-    alo = a - ahi
-    cb = _SPLIT * b
-    bhi = cb - (cb - b)
-    blo = b - bhi
-    e = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
-    return p, e
-
-
-def _two_sum(a, b):
-    s = a + b
-    bb = s - a
-    e = (a - (s - bb)) + (b - bb)
-    return s, e
+# Error-free transforms: canonical implementation in ops/dd.py (shared
+# with the Pallas kernels) — see that module for the Dekker/Knuth
+# derivations.
+from openpystruct_tpu.ops.dd import two_prod as _two_prod
+from openpystruct_tpu.ops.dd import two_sum as _two_sum
 
 
 def block_tridiag_residual_compensated(diag, upper, b, x, lower=None):

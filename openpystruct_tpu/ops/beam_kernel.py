@@ -53,26 +53,11 @@ from openpystruct_tpu.ops.block_tridiag import (
     _t,
 )
 
-_SPLIT = 4097.0  # Dekker split constant for float32
-
-
-def _two_prod(a, b):
-    p = a * b
-    ca = _SPLIT * a
-    ahi = ca - (ca - a)
-    alo = a - ahi
-    cb = _SPLIT * b
-    bhi = cb - (cb - b)
-    blo = b - bhi
-    e = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
-    return p, e
-
-
-def _two_sum(a, b):
-    s = a + b
-    bb = s - a
-    e = (a - (s - bb)) + (b - bb)
-    return s, e
+# Error-free transforms: one canonical implementation (ops/dd.py) —
+# keeping Dekker/Knuth sequences in sync by hand across copies is how
+# compensated arithmetic silently rots.
+from openpystruct_tpu.ops.dd import two_prod as _two_prod
+from openpystruct_tpu.ops.dd import two_sum as _two_sum
 
 
 def _det3(m):

@@ -48,6 +48,7 @@ from openpystruct_tpu.ops.block_tridiag import (
     LANES,
     SUB,
     _from_slabs,
+    _inv3_det,
     _mm,
     _mv,
     _sub_m,
@@ -69,34 +70,6 @@ from openpystruct_tpu.ops.dd import (
 # sub=4 is ~4.3 MB resident / ~8.6 MB double-buffered — comfortably under
 # the 16 MB scoped-VMEM core limit.
 CHUNK_DD = 32
-
-
-def _inv3_det(m):
-    """Cofactor inverse of a 3x3 block plus its determinant.
-
-    Same algebra as ``block_tridiag._inv3_slabs`` (entries may be DD or
-    plain slabs); the determinant feeds the min-Schur-pivot diagnostic.
-    """
-    a, b, c = m[0]
-    d, e, f = m[1]
-    g, h, i = m[2]
-    A = e * i - f * h
-    B = -(d * i - f * g)
-    C = d * h - e * g
-    D = -(b * i - c * h)
-    E = a * i - c * g
-    F = -(a * h - b * g)
-    G = b * f - c * e
-    H = -(a * f - c * d)
-    I = a * e - b * d
-    det = a * A + b * B + c * C
-    inv_det = 1.0 / det
-    inv = [
-        [A * inv_det, D * inv_det, G * inv_det],
-        [B * inv_det, E * inv_det, H * inv_det],
-        [C * inv_det, F * inv_det, I * inv_det],
-    ]
-    return inv, det
 
 
 def _fwd_kernel_dd(chunk, dh, dl, uh, ul, bh, bl,

@@ -48,9 +48,13 @@ def pick_sub(n_nodes: int, floats_per_node: int):
     return None
 
 
-def _inv3_slabs(m):
-    """Cofactor inverse of a 3x3 block whose components are (SUB, 128)
-    slabs.  m: list[3][3]; returns the same structure."""
+def _inv3_det(m):
+    """Cofactor inverse of a 3x3 block plus its determinant.
+
+    Precision-polymorphic: entries may be plain (SUB, 128) slabs or DD
+    values (ops/dd.py) — one implementation serves the f32 and dd
+    kernels (the det feeds the dd min-Schur-pivot diagnostic).
+    m: list[3][3]; returns (inverse in the same structure, det)."""
     a, b, c = m[0]
     d, e, f = m[1]
     g, h, i = m[2]
@@ -63,12 +67,20 @@ def _inv3_slabs(m):
     G = b * f - c * e
     H = -(a * f - c * d)
     I = a * e - b * d
-    inv_det = 1.0 / (a * A + b * B + c * C)
-    return [
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / det
+    inv = [
         [A * inv_det, D * inv_det, G * inv_det],
         [B * inv_det, E * inv_det, H * inv_det],
         [C * inv_det, F * inv_det, I * inv_det],
     ]
+    return inv, det
+
+
+def _inv3_slabs(m):
+    """Cofactor inverse of a 3x3 block whose components are (SUB, 128)
+    slabs.  m: list[3][3]; returns the same structure."""
+    return _inv3_det(m)[0]
 
 
 def _mm(m1, m2):
@@ -381,15 +393,23 @@ def pallas_block_tridiag_solve(diag, upper, b, interpret=False, sub=None,
     dtype = diag.dtype
     if sub is None:
         sub = pick_sub(n, 36)
-        if sub is not None and sub < SUB:
+        if sub is not None and sub < SUB and not bidi:
             # measured on v5e: once the resident kernel's slab depth
             # drops below the full 4 sublanes, the streamed kernel wins
             # (2.2x at n=301/sub=2, 1.6x at n=501, 4.8x vs sub=1) —
             # shallow slabs leave most of each vreg masked, which costs
             # more than the streamed path's HBM traffic for the
-            # materialized C/y factors
+            # materialized C/y factors.  (bidi: the streamed kernel has
+            # no bidirectional variant — keep the resident kernel so the
+            # experiment measures what it claims to.)
             sub = None
     if sub is None:
+        if bidi:
+            raise ValueError(
+                f"bidi=True requires the VMEM-resident kernel, but a mesh "
+                f"of {n} nodes exceeds it even at sub=1 — the streamed "
+                "fallback has no bidirectional variant"
+            )
         from openpystruct_tpu.ops.block_stream import (
             pallas_block_tridiag_solve_streamed,
         )

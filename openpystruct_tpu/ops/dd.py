@@ -26,6 +26,18 @@ import jax
 import jax.numpy as jnp
 
 _SPLIT = 4097.0  # Dekker split constant for float32 (2^12 + 1)
+_SPLIT64 = 134217729.0  # for float64 (2^27 + 1)
+
+
+def _split_const(a, b):
+    """Dekker split constant for the operands' dtype.  The kernels are
+    float32 everywhere, but the shared host-side compensated residual
+    (fem/solve.py) also runs under an enable_x64 scope, where the f32
+    constant would split at the wrong bit and quietly destroy the error
+    term."""
+    if jnp.result_type(a, b) == jnp.float64:
+        return _SPLIT64
+    return _SPLIT
 
 
 def two_sum(a, b):
@@ -45,11 +57,12 @@ def quick_two_sum(a, b):
 
 def two_prod(a, b):
     """Error-free a * b = p + e (Dekker split; no FMA in Mosaic)."""
+    split = _split_const(a, b)
     p = a * b
-    ca = _SPLIT * a
+    ca = split * a
     ahi = ca - (ca - a)
     alo = a - ahi
-    cb = _SPLIT * b
+    cb = split * b
     bhi = cb - (cb - b)
     blo = b - bhi
     e = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo

@@ -129,13 +129,15 @@ def fit(
     ``epochs_per_sync``: epochs executed per device round-trip (shuffling,
     noisy steps, val evaluation, best-checkpoint selection AND the
     early-stop decision all run on-device in one scanned program, with
-    training state frozen at the stop epoch).  The trajectory, histories
-    and best checkpoint are bit-identical for any value — the knob only
-    amortizes host/link round-trip latency, which dominates small-model /
-    small-dataset training (the TFD reference configuration is ~entirely
-    dispatch-bound at 1).  Post-stop epochs inside the final chunk execute
-    as frozen no-ops (wasted device time bounded by chunk - 1 tiny
-    epochs).
+    training state frozen at the stop epoch).  Every epoch's
+    shuffle/noise/dropout keys are ``fold_in(rng, epoch)`` from the fixed
+    base key — a pure function of (seed, epoch), never chained through
+    chunk boundaries — so the trajectory, histories and best checkpoint
+    are bit-identical for any value; the knob only amortizes host/link
+    round-trip latency, which dominates small-model / small-dataset
+    training (the TFD reference configuration is ~entirely dispatch-bound
+    at 1).  Post-stop epochs inside the final chunk execute as frozen
+    no-ops (wasted device time bounded by chunk - 1 tiny epochs).
 
     ``metrics``: an optional ``utils.MetricsLogger`` receiving one entry per
     epoch (train_loss, val_loss).
@@ -148,11 +150,12 @@ def fit(
     ``checkpoint_dir``: save the FULL training state (params, optimizer
     state, best-so-far, loop rng, epoch counters, loss histories) every
     ``checkpoint_every`` sync chunks; ``resume_from`` restores such a
-    checkpoint and continues — with identical data, config and
-    ``epochs_per_sync``, the resumed run reproduces the uninterrupted
-    val-loss trajectory exactly (the loop rng is checkpointed before its
-    next split).  This is the mid-run resume the reference lacks (it only
-    ``torch.save``'s a best state_dict, SURVEY.md §5).
+    checkpoint and continues — with identical data and config, the
+    resumed run reproduces the uninterrupted val-loss trajectory exactly,
+    regardless of ``epochs_per_sync`` on either side of the restart
+    (epoch keys are fold_in-derived from the checkpointed base rng, not
+    chained across epochs).  This is the mid-run resume the reference
+    lacks (it only ``torch.save``'s a best state_dict, SURVEY.md §5).
     """
     if rng is None:
         rng = jax.random.PRNGKey(cfg.seed)
@@ -335,13 +338,20 @@ def fit(
         remote-compile setups for large datasets)."""
 
         def epoch_body(carry, e_idx):
-            st, best, rng, no_improve, stopped = carry
+            st, best, no_improve, stopped = carry
             epoch = epoch0 + 1 + e_idx
             noise = cfg.sigma_0 * jnp.power(
                 jnp.asarray(cfg.gamma_noise, jnp.float32),
                 epoch.astype(jnp.float32),
             )
-            rng, ks, ke, kv = jax.random.split(rng, 4)
+            # Epoch keys derive from the FIXED base rng and the absolute
+            # epoch number — never from a key chained through the scan
+            # carry.  Chained keys would make epoch k's shuffle/noise/
+            # dropout depend on where its chunk boundary fell, breaking
+            # the bit-identical-for-any-epochs_per_sync contract.
+            ks, ke, kv = jax.random.split(
+                jax.random.fold_in(rng, epoch), 3
+            )
             perm = jax.random.permutation(ks, X_tr.shape[0])[
                 : steps * batch
             ]
@@ -370,13 +380,13 @@ def fit(
             )
             stopped = stopped | (no_improve >= cfg.patience)
             return (
-                st, (best_val, best_params, best_stats), rng, no_improve,
+                st, (best_val, best_params, best_stats), no_improve,
                 stopped,
             ), (tr_loss, va_loss)
 
-        (state, best, _, _, _), (tr, va) = jax.lax.scan(
+        (state, best, _, _), (tr, va) = jax.lax.scan(
             epoch_body,
-            (state, best, rng, jnp.asarray(no_improve0, jnp.int32),
+            (state, best, jnp.asarray(no_improve0, jnp.int32),
              jnp.asarray(False)),
             jnp.arange(n_epochs),
         )
@@ -481,9 +491,8 @@ def fit(
     chunks_done = 0
     while epoch0 < cfg.num_epochs and not stopped:
         chunk = min(epochs_per_sync, cfg.num_epochs - epoch0)
-        rng, sub = jax.random.split(rng)
         state, best, tr, va = run_epochs_j(
-            state, best, sub, epoch0, epochs_no_improve, chunk,
+            state, best, rng, epoch0, epochs_no_improve, chunk,
             X_train, Y_train, Xv, Yv, Xv_tail, Yv_tail,
         )
         tr = np.asarray(tr)

@@ -122,3 +122,46 @@ def test_auto_refine_table():
     # monotone
     ks = [auto_refine(n) for n in (50, 150, 200, 400, 800, 2000)]
     assert ks == sorted(ks)
+
+
+def test_nan_solve_is_never_silently_certified():
+    """A lane whose f32 solve is non-finite (here: a zero I element makes
+    K exactly singular) must be escalated and reported — NaN estimates
+    compare False against every threshold, so without explicit
+    sanitization such lanes sailed through as 'certified'."""
+    scs, Is = _refined_mesh_batch(101, B=3)
+    Is = np.array(Is)  # writable copy
+    # zero bending stiffness on the whole lane: rigid mechanisms, K
+    # exactly singular in every arithmetic; the f32 Jacobi scale hits
+    # rsqrt(0) and the whole estimate pipeline goes NaN
+    Is[1, :] = 0.0
+    Is = jnp.asarray(Is)
+
+    with pytest.raises(ValueError, match="cannot be certified"):
+        solve_beam_checked(Is, scs, E, A, tol=1e-4, on_fail="raise")
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        sol, info = solve_beam_checked(Is, scs, E, A, tol=1e-4)
+    assert any("cannot be certified" in str(w.message) for w in rec)
+    assert info["used_dd"][1]          # the broken lane escalated
+    assert not np.isfinite(info["est"][1]) or info["est"][1] > 1e-4
+    # healthy lanes unaffected
+    assert info["est"][0] <= 1e-4 and info["est"][2] <= 1e-4
+
+
+def test_auto_rescue_mode_respects_dd_ceiling(monkeypatch):
+    """rescue=True auto mode must never select the resident dd kernel
+    past its VMEM mesh ceiling (it would raise mid-datagen); it falls
+    back to the host-f64 rescue there."""
+    from openpystruct_tpu.datagen.generate import _auto_rescue_mode
+    from openpystruct_tpu.ops.beam_kernel_dd import fits_dd
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert fits_dd(101)
+    assert _auto_rescue_mode(101) == "dd"
+    assert not fits_dd(501)
+    assert _auto_rescue_mode(501) == "f64"
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert _auto_rescue_mode(101) == "f64"

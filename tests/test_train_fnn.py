@@ -157,3 +157,40 @@ def pytest_approx(x):
     import pytest
 
     return pytest.approx(x, rel=1e-5)
+
+
+def test_trajectory_independent_of_epochs_per_sync():
+    """The documented fit() contract: trajectories/histories/best are
+    bit-identical for ANY epochs_per_sync.  Epoch rng keys must derive
+    from fold_in(base, epoch) — a chunk-chained key stream would make
+    epoch k's shuffle/noise depend on where its sync boundary fell."""
+    rng = np.random.default_rng(1)
+    X_tr = rng.normal(size=(24, 8)).astype(np.float32)
+    Y_tr = (X_tr[:, :3] * 1.5).astype(np.float32)
+    X_val = rng.normal(size=(9, 8)).astype(np.float32)
+    Y_val = (X_val[:, :3] * 1.5).astype(np.float32)
+
+    cfg = TrainConfig(num_epochs=7, batch_size=4, patience=50,
+                      sigma_0=0.05, dropout_rate=0.2)
+    model = FNNWithResidual(
+        hidden_dim=16, num_blocks=1, output_dim=3,
+        dropout_rate=cfg.dropout_rate, dtype=jnp.float32,
+    )
+    runs = [
+        fit(model, X_tr, Y_tr, X_val, Y_val, cfg,
+            rng=jax.random.PRNGKey(7), epochs_per_sync=k)
+        for k in (1, 3, 8)
+    ]
+    for other in runs[1:]:
+        np.testing.assert_array_equal(
+            np.asarray(runs[0].train_losses), np.asarray(other.train_losses)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(runs[0].val_losses), np.asarray(other.val_losses)
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            runs[0].params, other.params,
+        )
