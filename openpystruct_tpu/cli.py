@@ -43,10 +43,18 @@ def _add_frame_opt(sub):
                    help="optimize BATCH load scenarios of this topology in "
                         "one program (the batched TPU driver; the "
                         "reference runs one frame per invocation)")
+    p.add_argument("--dataset", type=int, default=None,
+                   help="generate a MIXED-TOPOLOGY dataset of this many "
+                        "samples: topology drawn per sample from the "
+                        "reference's random 1-10x1-10 distribution "
+                        "(FrameOpt_Discrete_Beta.py:50-52), lanes bucketed "
+                        "by topology")
     p.add_argument("--output", type=str, default=None,
-                   help="with --batch: write the columnar results JSON here")
+                   help="with --batch/--dataset: write the columnar "
+                        "results JSON here")
     p.add_argument("--mesh", action="store_true",
-                   help="with --batch: shard scenarios over local devices")
+                   help="with --batch/--dataset: shard scenarios over "
+                        "local devices")
 
 
 def _add_datagen(sub):
@@ -189,10 +197,32 @@ def cmd_frame_opt(args):
     from openpystruct_tpu.opt import optimize_frame
 
     pyrandom.seed(args.seed)
+    cfg = FrameConfig(max_epochs=args.epochs)
+    if args.dataset:
+        from openpystruct_tpu.datagen import generate_frame_dataset
+        from openpystruct_tpu.parallel import default_mesh
+
+        mesh = default_mesh(("data",)) if args.mesh else None
+        t0 = time.time()
+        data = generate_frame_dataset(
+            jax.random.PRNGKey(args.seed), args.dataset, cfg,
+            bays_range=(args.bays, args.bays) if args.bays else (1, 10),
+            stories_range=(args.stories, args.stories)
+            if args.stories else (1, 10),
+            mesh=mesh, verbose=True,
+        )
+        dt = time.time() - t0
+        topos = sorted(set(zip(data["num_bays"], data["num_stories"])))
+        print(f"{len(data['I_values'])} samples over {len(topos)} distinct "
+              f"topologies in {dt:.1f}s")
+        if args.output:
+            with open(args.output, "w") as fh:
+                json.dump(data, fh)
+            print(f"dataset written to {args.output}")
+        return
     bays = args.bays or pyrandom.randint(1, 10)
     stories = args.stories or pyrandom.randint(1, 10)
     print(f"Generated frame with {bays} bay(s) and {stories} story(ies).")
-    cfg = FrameConfig(max_epochs=args.epochs)
     if args.batch:
         from openpystruct_tpu.datagen import (
             frame_batch_to_columnar,
@@ -443,12 +473,27 @@ def cmd_predict(args):
         print("predicted I (m^4):")
         print(np.array2string(pred, precision=5, max_line_width=100))
     if args.plot:
-        from openpystruct_tpu.viz import plot_beam_prediction
+        if args.model == "pinn" and pre["label_dim"] > nelem:
+            # the PINN predicts I + deflections + rotations: render the
+            # reference's 3-panel diagnostic figure
+            # (OpenPyStruct_PINN_MultiCase.py:1021-1146)
+            from openpystruct_tpu.viz import plot_pinn_panels
 
-        fig = plot_beam_prediction(
-            L, pred, rollers_x=rollers, force_cases_x=user_fx,
-            force_cases_vals=user_fv,
-        )
+            full = np.asarray(out[0])
+            aux = (pre["label_dim"] - nelem) // 2
+            fig = plot_pinn_panels(
+                L, pred, full[nelem : nelem + aux],
+                full[nelem + aux : nelem + 2 * aux],
+                rollers_x=rollers, force_cases_x=user_fx,
+                force_cases_vals=user_fv,
+            )
+        else:
+            from openpystruct_tpu.viz import plot_beam_prediction
+
+            fig = plot_beam_prediction(
+                L, pred, rollers_x=rollers, force_cases_x=user_fx,
+                force_cases_vals=user_fv,
+            )
         fig.savefig(args.plot)
         print(f"plot saved to {args.plot}")
 

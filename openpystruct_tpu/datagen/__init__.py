@@ -22,7 +22,9 @@ from openpystruct_tpu.datagen.frames import (
     FrameBatch,
     frame_batch_to_columnar,
     generate_frame_batch,
+    generate_frame_dataset,
     sample_frame_loads,
+    sample_topologies,
 )
 from openpystruct_tpu.datagen.io import (
     batch_to_columnar,
@@ -44,7 +46,9 @@ __all__ = [
     "FrameBatch",
     "frame_batch_to_columnar",
     "generate_frame_batch",
+    "generate_frame_dataset",
     "sample_frame_loads",
+    "sample_topologies",
     "batch_to_columnar",
     "write_json_dataset",
     "read_json_dataset",

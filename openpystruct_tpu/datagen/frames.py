@@ -103,6 +103,82 @@ def generate_frame_batch(
     return structure, fn(udl, lateral)
 
 
+def sample_topologies(key, num_samples: int, bays_range=(1, 10),
+                      stories_range=(1, 10)):
+    """Per-sample random (bays, stories) — the reference's per-run draw
+    (random.randint(1,10) twice, OpenPyStruct_FrameOpt_Discrete_Beta.py:
+    50-52) applied per dataset row."""
+    kb, ks = jax.random.split(key)
+    bays = jax.random.randint(
+        kb, (num_samples,), bays_range[0], bays_range[1] + 1
+    )
+    stories = jax.random.randint(
+        ks, (num_samples,), stories_range[0], stories_range[1] + 1
+    )
+    return np.asarray(bays), np.asarray(stories)
+
+
+def generate_frame_dataset(
+    key,
+    num_samples: int,
+    cfg: FrameConfig = FrameConfig(),
+    bays_range=(1, 10),
+    stories_range=(1, 10),
+    load_scale=(0.5, 1.5),
+    mesh: Optional[jax.sharding.Mesh] = None,
+    data_axis: str = "data",
+    min_bucket: int = 8,
+    verbose: bool = False,
+) -> dict:
+    """Mixed-topology frame dataset in ONE call: topology is drawn per
+    sample from the reference's 1-10 x 1-10 distribution
+    (OpenPyStruct_FrameOpt_Discrete_Beta.py:50-52), then lanes are
+    BUCKETED by (bays, stories) — XLA needs static shapes, so each
+    distinct topology runs as its own batched program (cached per
+    topology by ``_make_frame_batch_fn``), with bucket sizes padded to
+    powers of two (and to the mesh shard count) to bound the number of
+    compiled shapes, like the beam compaction cascade.
+
+    Returns a columnar dict with PER-ROW ``num_bays``/``num_stories``
+    columns plus the frame result schema of
+    :func:`frame_batch_to_columnar` (ragged across topologies — JSON
+    lists).
+    """
+    ktop, kload = jax.random.split(jnp.asarray(key))
+    bays, stories = sample_topologies(ktop, num_samples, bays_range,
+                                      stories_range)
+
+    keys = ("I_values", "axial_forces", "bending_moments",
+            "displacements", "udl", "lateral_load", "n_epochs")
+    data = {"num_bays": [], "num_stories": []}
+    data.update({k: [] for k in keys})
+    shard = mesh.shape[data_axis] if mesh is not None else 1
+    for b, s in sorted({(int(x), int(y)) for x, y in zip(bays, stories)}):
+        n = int(((bays == b) & (stories == s)).sum())
+        bucket = 1 << max(n - 1, 0).bit_length()
+        bucket = max(bucket, min_bucket, shard)
+        bucket = ((bucket + shard - 1) // shard) * shard
+        sub_key = jax.random.fold_in(kload, b * 64 + s)
+        st, batch = generate_frame_batch(
+            sub_key, bucket, b, s, cfg, load_scale, mesh=mesh,
+            data_axis=data_axis,
+        )
+        # padding lanes (drawn only to keep shapes power-of-two) are
+        # dropped via the valid mask the columnar writer already honors
+        keep = np.asarray(batch.valid).copy()
+        keep[n:] = False
+        cols = frame_batch_to_columnar(st, batch.replace(valid=keep))
+        rows = len(cols["I_values"])
+        data["num_bays"] += [b] * rows
+        data["num_stories"] += [s] * rows
+        for k in keys:
+            data[k] += list(cols[k])
+        if verbose:
+            print(f"  topology {b}x{s}: {rows}/{n} valid "
+                  f"(bucket {bucket})", flush=True)
+    return data
+
+
 def frame_batch_to_columnar(structure: FrameStructure,
                             batch: FrameBatch) -> dict:
     """Columnar host dict (valid rows only), beam-schema spirit: one row

@@ -160,14 +160,26 @@ def build_family(name: str, feat_dim: int, nelem: int = 100,
             dropout_rate=cfg.dropout_rate,
         )
 
-        def pinn_loss(alpha, preds, targets):
-            return composite_pinn_loss(
-                alpha, preds, targets, nelem=nelem,
-                box_constraint_coeff=cfg.box_constraint_coeff,
-                penalty_pinn=PINN_PENALTY,
-            )
+        def pinn_loss_builder(Y_train):
+            # Box-constraint bounds = min/max of the STANDARDIZED
+            # train-label I-slice (OpenPyStruct_PINN_MultiCase.py:377-378,
+            # applied at 556-558,588-597); multihost-safe like the
+            # harness's default wiring.
+            from openpystruct_tpu.parallel import all_processes_min_max
 
-        fit_kwargs["loss_fn"] = pinn_loss
+            min_c, max_c = all_processes_min_max(Y_train[:, :nelem])
+
+            def pinn_loss(alpha, preds, targets):
+                return composite_pinn_loss(
+                    alpha, preds, targets, nelem=nelem,
+                    min_constraint=min_c, max_constraint=max_c,
+                    box_constraint_coeff=cfg.box_constraint_coeff,
+                    penalty_pinn=PINN_PENALTY,
+                )
+
+            return pinn_loss
+
+        fit_kwargs["loss_fn_builder"] = pinn_loss_builder
     elif name == "fno":
         model = FNO1dModel(
             n_cases=cfg.n_cases, n_elem=label_dim, fno_modes=4,

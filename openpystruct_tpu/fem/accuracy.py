@@ -240,7 +240,8 @@ def solve_beam_checked(
             sub_scen = jax.tree.map(
                 lambda x: np.asarray(x)[gidx], scenario
             )
-            cpu = jax.devices("cpu")[0]
+            # process-local CPU device (multi-host safe)
+            cpu = jax.local_devices(backend="cpu")[0]
             with jax.enable_x64(), jax.default_device(cpu):
                 scen64 = jax.tree.map(
                     lambda x: jnp.asarray(
@@ -263,17 +264,27 @@ def solve_beam_checked(
         pivot[flagged] = piv_np
 
         # dd certification: error ~ (measured f32 amplification) x
-        # eps_dd/eps32.  Lanes whose f32 solve was non-finite have no
-        # measured amplification — certify those from the dd pivot
-        # instead (normwise bound for the Jacobi-scaled system:
-        # amplification ~ 1/min pivot).  Singular systems are flagged by
+        # eps_dd/eps32, floored by the pivot-based normwise bound
+        # eps_dd/|min pivot| (Jacobi-scaled system: amplification ~
+        # 1/min pivot).  The max of the two is taken for EVERY escalated
+        # lane, not just non-finite ones: when f32 refinement diverges
+        # est_f32 saturates near O(1), capping the scaled estimate at
+        # ~1e-7 regardless of true conditioning — for cond >~ 1e11 the
+        # true dd error (~cond*eps_dd) exceeds tol while the pivot stays
+        # above the singularity floor, so the scaled term alone would
+        # falsely certify (ADVICE r3).  Singular systems are flagged by
         # the dd pivot; `~(piv > floor)` (not `piv < floor`) so a NaN
-        # pivot counts as failed, never as certified.
+        # pivot counts as failed, never as certified (a NaN pivot also
+        # makes est_dd NaN here, which fails `est_dd <= tol` the same
+        # way).
         est_f32 = est[flagged]
         with np.errstate(divide="ignore", invalid="ignore"):
-            est_dd = np.where(
-                np.isfinite(est_f32),
-                est_f32 * (_EPS_DD / _EPS32),
+            est_dd = np.maximum(
+                np.where(
+                    np.isfinite(est_f32),
+                    est_f32 * (_EPS_DD / _EPS32),
+                    0.0,
+                ),
                 _EPS_DD / np.abs(piv_np),
             )
         est[flagged] = est_dd

@@ -238,13 +238,18 @@ def _thomas_kernel_bidi(diag_ref, upper_ref, b_ref, x_ref, c_scr, y_scr,
 
         # right step k = n-1-j (runs while k > m)
         k = jnp.maximum(n - 1 - j, m + 1)
+        # carry reads clamped to n-1: when the right chain is idle
+        # (k pinned at m+1) k+1 can index past the (n, ...) scratch for
+        # small n (n=4: reads row 4) — the store is masked but the read
+        # itself must stay in bounds (ADVICE r3)
+        kp = jnp.minimum(k + 1, n - 1)
         u_k = _read_mat(upper_ref, jnp.minimum(k, n - 2))
-        cp_next = [[c_scr[k + 1, a, b] for b in range(3)]
+        cp_next = [[c_scr[kp, a, b] for b in range(3)]
                    for a in range(3)]
         sp = _sub_m(_read_mat(diag_ref, k), _mm(u_k, cp_next))
         spinv = _inv3_slabs(sp)
         yp = _mv(spinv, _sub_v(_read_vec(b_ref, k),
-                               _mv(u_k, [y_scr[k + 1, a]
+                               _mv(u_k, [y_scr[kp, a]
                                          for a in range(3)])))
         cp = _mm(spinv, _t(_read_mat(upper_ref, k - 1)))
 

@@ -104,6 +104,7 @@ def fit(
     cfg: TrainConfig = TrainConfig(),
     rng: Optional[jax.Array] = None,
     loss_fn: Optional[Callable] = None,
+    loss_fn_builder: Optional[Callable] = None,
     param_loss_fn: Optional[Callable] = None,
     train_alpha: bool = True,
     decoupled_weight_decay: bool = False,
@@ -123,6 +124,11 @@ def fit(
     loss_fn(alpha, preds, targets) -> scalar; defaults to TrainableL1L2 with
     box constraints from the training-label min/max
     (OpenPyStruct_FNN_MultiCase.py:313-314).
+    loss_fn_builder(Y_train) -> loss_fn lets a family derive data-dependent
+    terms from the (standardized) train labels before training starts —
+    e.g. the PINN's box-constraint bounds over the I-slice
+    (OpenPyStruct_PINN_MultiCase.py:377-378,556-558).  Mutually exclusive
+    with ``loss_fn``.
     param_loss_fn(model_params) -> scalar adds parameter-dependent terms
     (e.g. the Bayesian models' scaled KL).
 
@@ -182,6 +188,10 @@ def fit(
     from openpystruct_tpu.parallel import all_processes_min_max
 
     min_c, max_c = all_processes_min_max(Y_train)
+    if loss_fn_builder is not None:
+        if loss_fn is not None:
+            raise ValueError("pass loss_fn OR loss_fn_builder, not both")
+        loss_fn = loss_fn_builder(Y_train)
     if loss_fn is None:
         def loss_fn(alpha, preds, targets):
             return trainable_l1l2_loss(

@@ -50,11 +50,15 @@ class MetricsLogger:
         self._tb = None
         if tensorboard_dir:
             try:
+                # flax's writer if a TF install provides it ...
                 from flax.metrics import tensorboard as _tb
 
                 self._tb = _tb.SummaryWriter(tensorboard_dir)
             except ImportError:
-                self._tb = None
+                # ... else the first-party zero-dependency event writer
+                from openpystruct_tpu.utils.tb_writer import TBEventWriter
+
+                self._tb = TBEventWriter(tensorboard_dir)
 
     def log(self, step: Optional[int] = None, **metrics):
         entry = {"time": time.time(), **metrics}

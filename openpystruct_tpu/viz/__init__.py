@@ -8,6 +8,7 @@ from openpystruct_tpu.viz.plots import (
     plot_beam_prediction,
     plot_frame,
     plot_pinn_fields,
+    plot_pinn_panels,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "plot_beam_prediction",
     "plot_frame",
     "plot_pinn_fields",
+    "plot_pinn_panels",
 ]

@@ -245,6 +245,110 @@ def plot_frame(structure, I):
     return fig
 
 
+def _beam_schematic(ax, plt, L_beam, rollers_x, force_cases_x,
+                    force_cases_vals, plot_forces):
+    """Shared beam setup for the PINN panels: beam line, pin, rollers and
+    (optionally) per-case colored force arrows."""
+    ax.plot([0, L_beam], [0, 0], color="black", linewidth=3)
+    ax.scatter(0, -0.15, marker="^", color="red", s=250, zorder=6,
+               label="Pin")
+    if len(rollers_x):
+        ax.scatter(rollers_x, [0] * len(rollers_x), marker="o",
+                   color="seagreen", s=160, zorder=5, edgecolors="k",
+                   label="Rollers")
+    if plot_forces and len(force_cases_x):
+        all_vals = [v for case in force_cases_vals for v in case]
+        fmax = max((abs(v) for v in all_vals), default=1.0)
+        scale = 1.8 / fmax if fmax else 1.0
+        colors = plt.get_cmap("Set1")(
+            np.linspace(0, 1, max(len(force_cases_x), 1))
+        )
+        for ci, (fxs, fvs) in enumerate(zip(force_cases_x,
+                                            force_cases_vals)):
+            for fx, fv in zip(fxs, fvs):
+                ax.annotate(
+                    "", xy=(fx, 0), xytext=(fx, abs(fv) * scale),
+                    arrowprops=dict(color=colors[ci], lw=2,
+                                    arrowstyle="-|>"),
+                )
+    ax.set_xlim(-5, L_beam + 5)
+    ax.grid(True, which="both", linestyle="--", linewidth=0.5, alpha=0.7)
+
+
+def plot_pinn_panels(L_beam, pred_I, deflections, rotations,
+                     rollers_x=(), force_cases_x=(), force_cases_vals=()):
+    """The PINN's 3-panel prediction diagnostic
+    (OpenPyStruct_PINN_MultiCase.py:1021-1146): each panel carries the
+    beam schematic (pin/rollers; force arrows in the top panel only);
+    top = predicted I as colormapped rectangles centered on the beam +
+    colorbar, middle = predicted deflection field as a line over the
+    schematic, bottom = predicted rotations as direction arrows
+    (dx, dy) = r*(cos th, sin th) per node."""
+    plt = _plt()
+    import matplotlib.cm as cm
+    from matplotlib.patches import FancyArrowPatch, Rectangle
+
+    pred = np.asarray(pred_I)
+    defl = np.asarray(deflections)
+    rot = np.asarray(rotations)
+    nelem = len(pred)
+    fig, axs = plt.subplots(3, 1, figsize=(16, 15), sharex=True)
+
+    # --- top: beam + forces + I rectangles -----------------------------
+    ax = axs[0]
+    _beam_schematic(ax, plt, L_beam, rollers_x, force_cases_x,
+                    force_cases_vals, plot_forces=True)
+    rng = pred.max() - pred.min() + 1e-8
+    norm = plt.Normalize(pred.min(), pred.max())
+    cmap = cm.winter
+    bw = L_beam / nelem * 0.8
+    xs = np.linspace(0, L_beam, nelem + 1)[:-1]
+    for x, v in zip(xs, pred):
+        h = (v / rng) * 1.0
+        ax.add_patch(Rectangle((x - bw / 2, -h / 2), bw, h, linewidth=0,
+                               facecolor=cmap(norm(v)), alpha=0.6))
+    sm = cm.ScalarMappable(cmap=cmap, norm=norm)
+    sm.set_array([])
+    cbar = fig.colorbar(sm, ax=ax, orientation="vertical", fraction=0.046,
+                        pad=0.04)
+    cbar.set_label("Predicted I (m$^4$)")
+    ax.set_ylim(-2.5, 2.5)
+    ax.set_title("Beam Setup with Applied Forces and I")
+
+    # --- middle: deflection field over the schematic -------------------
+    ax = axs[1]
+    _beam_schematic(ax, plt, L_beam, rollers_x, force_cases_x,
+                    force_cases_vals, plot_forces=False)
+    node_x = np.linspace(0, L_beam, len(defl))
+    ax.plot(node_x, defl, color="blue", marker="o", markersize=3,
+            linestyle="-", label="Deflection")
+    ax.set_ylabel("Deflection (m)")
+    ax.set_title("PINN Predicted Displacements")
+    lo, hi = float(defl.min()), float(defl.max())
+    pad = 0.1 * max(abs(lo), abs(hi), 0.2)
+    ax.set_ylim(lo - pad, hi + pad)
+
+    # --- bottom: rotation arrows ----------------------------------------
+    ax = axs[2]
+    _beam_schematic(ax, plt, L_beam, rollers_x, force_cases_x,
+                    force_cases_vals, plot_forces=False)
+    r_scale = 10.0
+    node_x = np.linspace(0, L_beam, len(rot))
+    for x, th in zip(node_x, rot):
+        dx, dy = r_scale * np.cos(th), r_scale * np.sin(th)
+        ax.add_patch(FancyArrowPatch(
+            posA=(x, 0.0), posB=(x + dx, dy), arrowstyle="-|>",
+            mutation_scale=8, color="purple", linewidth=1, alpha=0.8,
+        ))
+    max_rot = float(np.max(np.abs(rot))) * r_scale * 1.2 + 1e-3
+    ax.set_ylim(-max_rot, max_rot)
+    ax.set_ylabel("Rotation (rad)")
+    ax.set_xlabel("Beam Length (m)")
+    ax.set_title("PINN Predicted Rotations")
+    fig.tight_layout()
+    return fig
+
+
 def plot_pinn_fields(node_x, I, deflections, rotations):
     """PINN 3-panel (OpenPyStruct_PINN_MultiCase.py:1021-1146)."""
     plt = _plt()

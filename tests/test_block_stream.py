@@ -124,3 +124,48 @@ def test_auto_dispatch_three_regimes():
     d_s = np.asarray(sol_s.deflections)
     scale = np.abs(d_s).max()
     assert (np.abs(d_p - d_s) / scale).max() < 1e-5
+
+
+def test_streamed_vjp_matches_finite_differences():
+    """Adjoint certification PAST the resident range (VERDICT r3 item 8):
+    ``pallas_solve_sym``'s custom VJP rides the streamed dispatch at
+    n=1301; check the analytic directional derivative against central
+    finite differences in float64 interpret mode (same method as
+    tests/test_fused_vjp.py)."""
+    from openpystruct_tpu.ops.block_tridiag import pallas_solve_sym
+
+    n, B = 1301, 2
+    assert pick_sub(n, 36) is None, "n=1301 unexpectedly fits VMEM"
+    diag, upper, f, _, _ = _beam_system(n, B, key=5)
+    diag = jnp.asarray(diag, jnp.float64)
+    upper = jnp.asarray(upper, jnp.float64)
+    f = jnp.asarray(f, jnp.float64)
+    w = jnp.asarray(
+        np.random.default_rng(0).normal(size=(B, n, 3)), jnp.float64
+    )
+
+    def loss(d, u, b):
+        x = pallas_solve_sym(d, u, b, 1, True)
+        return jnp.sum(w * x)
+
+    g_d, g_u, g_b = jax.grad(loss, argnums=(0, 1, 2))(diag, upper, f)
+
+    rng = np.random.default_rng(1)
+    Dd = jnp.asarray(rng.normal(size=diag.shape), jnp.float64)
+    # keep the perturbed system symmetric like the primal inputs
+    Dd = 0.5 * (Dd + jnp.swapaxes(Dd, -1, -2))
+    Du = jnp.asarray(rng.normal(size=upper.shape), jnp.float64)
+    Db = jnp.asarray(rng.normal(size=f.shape), jnp.float64)
+
+    analytic = float(
+        jnp.sum(g_d * Dd) + jnp.sum(g_u * Du) + jnp.sum(g_b * Db)
+    )
+    # h must sit inside the solve's linear regime: the FD secant deviates
+    # from the tangent by ~(cond * ||D|| * h)^2 — measured 1.8% at h=1e-6
+    # for this n=1301 system, so h=1e-8 puts truncation near 2e-6 while
+    # the f64 roundoff on the secant difference stays orders below it.
+    h = 1e-8
+    fp = float(loss(diag + h * Dd, upper + h * Du, f + h * Db))
+    fm = float(loss(diag - h * Dd, upper - h * Du, f - h * Db))
+    fd = (fp - fm) / (2 * h)
+    np.testing.assert_allclose(analytic, fd, rtol=1e-4)

@@ -162,3 +162,34 @@ def test_family_hyperparameters_match_reference():
 def test_shared_scalar_constants():
     assert BNN_KL_SCALE == 1e-6   # Bayesian_TFDModule_MultiCase_Beta.py:57
     assert PINN_PENALTY == 1.5e-6  # PINN_MultiCase.py:58
+
+
+def test_pinn_box_constraints_are_wired():
+    """The reference PINN clamps predictions against min/max of the
+    standardized train-label I-slice (OpenPyStruct_PINN_MultiCase.py:
+    377-378,556-558); the penalty must NOT be silently zero."""
+    import jax.numpy as jnp
+
+    from openpystruct_tpu.families import build_family
+
+    _, _, fit_kwargs = build_family("pinn", feat_dim=20, nelem=10,
+                                    label_dim=10 + 2 * 11)
+    builder = fit_kwargs["loss_fn_builder"]
+    # labels: I-slice in [0, 1], aux slices far outside it
+    Y = jnp.concatenate(
+        [jnp.linspace(0.0, 1.0, 10)[None, :].repeat(4, 0),
+         jnp.full((4, 22), 50.0)], axis=1,
+    )
+    loss_fn = builder(Y)
+    alpha = jnp.asarray(0.5)
+    inside = loss_fn(alpha, Y, Y)
+    # predictions violating the I-slice box must be penalized
+    Y_viol = Y.at[:, :10].add(10.0)
+    outside = loss_fn(alpha, Y_viol, Y)
+    # same L1/L2 distance but no box violation: shift an aux slice instead
+    Y_aux = Y.at[:, 10:20].add(10.0)
+    aux_only = loss_fn(alpha, Y_aux, Y)
+    assert float(outside) > float(aux_only) + 1.0, (
+        "I-slice box-constraint penalty is not active"
+    )
+    assert jnp.isfinite(inside)

@@ -98,3 +98,35 @@ def test_sample_frame_loads_distribution():
     assert (lat <= 1.5 * cfg.lateral_load).all()
     # roughly uniform: mean near the midpoint
     assert abs(udl.mean() / cfg.udl - 1.0) < 0.02
+
+
+def test_generate_frame_dataset_mixed_topologies():
+    """One call covers the reference's random 1-10x1-10 topology
+    distribution (OpenPyStruct_FrameOpt_Discrete_Beta.py:50-52): lanes
+    bucketed per (bays, stories), per-row topology columns, padding lanes
+    dropped."""
+    from openpystruct_tpu.datagen import generate_frame_dataset
+
+    data = generate_frame_dataset(
+        jax.random.PRNGKey(0), 48, FAST, bays_range=(1, 4),
+        stories_range=(1, 4), min_bucket=4,
+    )
+    rows = len(data["I_values"])
+    assert rows <= 48
+    assert rows >= 40  # fixed-base frames essentially never fail
+    topos = set(zip(data["num_bays"], data["num_stories"]))
+    assert len(topos) >= 6  # 48 draws over a 16-cell grid
+    for b, s in topos:
+        assert 1 <= b <= 4 and 1 <= s <= 4
+    # per-row shapes are consistent with the row's topology:
+    # elements = 2*b*s + ... columns then beams; nodes = (b+1)*(s+1)
+    for i in range(rows):
+        b, s = data["num_bays"][i], data["num_stories"][i]
+        n_cols = b + 1  # columns per story: (bays+1)
+        nelem = s * n_cols + s * b  # columns then beams per story
+        assert len(data["I_values"][i]) == nelem, (i, b, s)
+        assert len(data["displacements"][i]) == (b + 1) * (s + 1)
+        assert np.isfinite(np.asarray(data["I_values"][i])).all()
+    # every sampled topology count is preserved (no silent drops beyond
+    # the validity filter)
+    assert len(set(map(tuple, data["I_values"][:5]))) > 1  # distinct rows

@@ -84,3 +84,30 @@ def test_live_plot_every_throttle(tmp_path):
     lp.update([1.0] * 5, [1.0] * 5)
     assert os.path.exists(path)
     lp.close()
+
+
+def test_plot_pinn_panels(tmp_path):
+    """The PINN 3-panel prediction figure renders headlessly
+    (OpenPyStruct_PINN_MultiCase.py:1021-1146)."""
+    import numpy as np
+
+    from openpystruct_tpu.viz import plot_pinn_panels
+
+    nelem = 100
+    rng = np.random.default_rng(0)
+    pred_I = np.abs(rng.normal(0.5, 0.1, nelem))
+    defl = -np.abs(rng.normal(0.0, 0.01, nelem + 1))
+    rot = rng.normal(0.0, 0.005, nelem + 1)
+    fig = plot_pinn_panels(
+        200.0, pred_I, defl, rot,
+        rollers_x=[18.0, 58.0, 138.0, 170.0, 200.0],
+        force_cases_x=[[40.0, 90.0], [120.0]],
+        force_cases_vals=[[-3e5, -1e5], [-2e5]],
+    )
+    assert len(fig.axes) >= 3  # 3 panels + colorbar axis
+    out = tmp_path / "pinn_panels.png"
+    fig.savefig(out)
+    assert out.stat().st_size > 10_000
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
