@@ -78,7 +78,7 @@ def main():
     )
 
     # ---- mesh-sharded datagen across both processes -------------------
-    from openpystruct_tpu.config import OptimizerConfig
+    from openpystruct_tpu.config import OptimizerConfig, ScenarioConfig
     from openpystruct_tpu.datagen import generate_batch
 
     opt = OptimizerConfig(max_epochs=20, tolerance=5e-3, patience=5)
@@ -95,6 +95,25 @@ def main():
         jax.jit(lambda x: x, out_shardings=rep)(batch.valid)
     )
 
+    # ---- multi-host random-bridge rescue (VERDICT r3 item 3) ----------
+    # each process re-optimizes ONLY its addressable shard's rejected
+    # lanes; the merged batch must keep ~everything, like single-host
+    scen = ScenarioConfig(random_bridge=True)
+    rb = generate_batch(
+        jax.random.PRNGKey(7), 32, scen_cfg=scen, opt_cfg=opt, mesh=mesh,
+        use_pallas=False, rescue=True,
+    )
+    rb_I = np.asarray(jax.jit(lambda x: x, out_shardings=rep)(rb.result.I))
+    rb_valid = np.asarray(
+        jax.jit(lambda x: x, out_shardings=rep)(rb.valid)
+    )
+    # keep the workers in lock-step before exiting: per-process rescue
+    # work is asymmetric, and a worker reaching jax.distributed's
+    # shutdown barrier minutes ahead of the other trips its timeout
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("rescue done")
+
     leaves = jax.tree.leaves(res.params)
     np.savez(
         f"{out_dir}/p{pid}.npz",
@@ -103,6 +122,8 @@ def main():
         param0=np.asarray(leaves[0]),
         datagen_I=I_full,
         datagen_valid=valid_full,
+        rescue_I=rb_I,
+        rescue_valid=rb_valid,
     )
     print(f"worker {pid}: OK", flush=True)
 
