@@ -40,13 +40,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from openpystruct_tpu.ops.block_tridiag import LANES, pick_sub
 from openpystruct_tpu.ops.beam_kernel import (
-    _back_substitute,
     _kernel_trace_scope,
     _pad_lane_fixup,
     _spec,
-    _stage_assemble,
-    _stage_factor,
-    _stage_scale,
     _stage_stiffness,
     _to_slab,
     _from_slab,
@@ -56,31 +52,30 @@ from openpystruct_tpu.ops.dd import (
     CollapseRef,
     LiftRef,
     RefPair,
+    absval,
     collapse,
+    dd_rsqrt,
     dd_sqrt,
+    dd_where,
 )
 
 # dd-slab floats per node for pick_sub.  The dd kernels' SCOPED stack
 # allocation is the scratch (the v5e compiler counts it against a 16M
-# scoped-vmem limit; measured 16.29M at 83 floats/node, n=101, sub=4).
-# The layout keeps scratch at 73-74 floats/node — hi/lo pairs for
-# ks/diag/upper/sinv (64), ONE shared pair for rhs/solution (the fused
-# forward substitution consumes rhs[i] exactly when y[i] is produced, so
-# they alias), a plain-f32 Jacobi scale (consistency, not precision —
-# ops/dd.py CollapseRef), and the opt kernel's f32 gradient row — which
-# puts n=101 at sub=4 (15.3M scoped), doubling lane occupancy vs the
-# first-cut 82-float layout.  pick_sub's 20M budget constant is
-# calibrated on the f32 kernels' looser accounting, so these counts are
-# inflated by 20/16.
+# scoped-vmem limit); pick_sub's 20M budget constant is calibrated on
+# the f32 kernels' looser accounting, so these counts are inflated by
+# 20/16 over the real floats/node.
 #
-# _FLOATS_ANALYSIS is MEASURED, not derived: the analysis kernel's
-# compiled scoped footprint at n=101/sub=4 is 16.74M (80.1 real
-# floats/node; the extra V/M output staging beyond the opt kernel's
-# measured 16.29M), which EXCEEDS the 16M limit — sub=4 must fail the
-# pick_sub check at n=101, hence 80.1 * 20/16 ~= 101 (r4 fix: the old
-# 92 OOM'd on hardware; interpret-mode tests can't see scoped vmem).
-_FLOATS_ANALYSIS = 101
-_FLOATS_OPT = 94
+# Round-4 layout (bending-only 2x2 blocks, see _stage_assemble_b2):
+# hi/lo pairs for ks (10/elem), symmetric 2x2 diag-then-Sinv in place
+# (6), 2x2 upper (8), ONE shared pair for rhs/solution (4; the fused
+# forward substitution consumes rhs[i] exactly when y[i] is produced),
+# plus plain-f32 Jacobi scale (2), axial chain rows (2) and the opt
+# kernel's gradient row (1) — ~32-33 real floats/node + compiler
+# temporaries.  The r3 3x3 layout measured ~6 floats/node of staging
+# overhead beyond the declared scratch, so the constants carry ~8 of
+# headroom: real ~41 * 20/16 ~= 52.
+_FLOATS_ANALYSIS = 52
+_FLOATS_OPT = 54
 
 
 def fits_dd(n_nodes: int) -> bool:
@@ -88,53 +83,259 @@ def fits_dd(n_nodes: int) -> bool:
     return pick_sub(n_nodes, _FLOATS_OPT) is not None
 
 
+# ---------------------------------------------------------------------------
+# Bending-only (2-DOF) dd pipeline.
+#
+# The straight-beam 3-DOF system is block-diagonal per DOF class: the
+# axial DOF u_x couples only to u_x (elasticBeamColumn with a Linear
+# transform on a straight chain; see the zero off-entries written by
+# ops/beam_kernel.py:_stage_assemble), and its RHS is identically zero —
+# the scenario schema has no x-direction loads (OpenPyStruct_BeamOpt.py:
+# 112-119 applies vertical point loads and '-beamUniform' only).  So
+# u_x == 0 exactly, and the bending (w, theta) 2x2 block-tridiagonal
+# chain carries the entire solution.  Factoring 2x2 blocks instead of
+# 3x3 cuts the dd multiply count per node ~4x (27 vs ~115) and roughly
+# halves the register working set — double-double arithmetic pays ~20
+# f32 ops per multiply, so this is where the rescue's wall-clock lives.
+#
+# The Schur-pivot diagnostic keeps its 3-DOF semantics: for the
+# block-diagonal system det3(S_i) = a_i * det2(S_i) with a_i the axial
+# scalar Schur pivot, which is O(1) after Jacobi scaling — it is tracked
+# in plain f32 alongside the dd bending factorization, so validity
+# thresholds (datagen RESCUE_PIVOT_TOL, accuracy certification) stay
+# calibrated identically to the f64 3-DOF reference values.
+# ---------------------------------------------------------------------------
+
+
 def _dd_scratch(n, nelem, sub, dtype):
-    """Scratch shapes for the dd solve pipeline: hi/lo pairs for
-    ks/diag/upper/fy/sinv plus one PLAIN f32 buffer for the Jacobi
-    scale (CollapseRef semantics — see the floats-per-node comment)."""
+    """Scratch for the bending-only dd pipeline: hi/lo pairs for
+    ks / sym-2x2 diag (rewritten as Sinv in place) / 2x2 upper / rhs-y,
+    plus plain f32 Jacobi scale and axial-chain rows."""
     pairs = [
         (nelem, 5, sub, LANES),   # ks
-        (n, 3, 3, sub, LANES),    # diag
-        (n, 3, 3, sub, LANES),    # upper
-        (n, 3, sub, LANES),       # f / y (aliased: fused fwd subst)
-        (n, 3, 3, sub, LANES),    # sinv
+        (n, 3, sub, LANES),       # diag sym [d_ww, d_wt, d_tt] -> Sinv
+        (n, 2, 2, sub, LANES),    # upper (bending 2x2)
+        (n, 2, sub, LANES),       # f / y (aliased: fused fwd subst)
     ]
     out = []
     for s in pairs:
         out += [pltpu.VMEM(s, dtype), pltpu.VMEM(s, dtype)]
-    out.append(pltpu.VMEM((n, 3, sub, LANES), dtype))   # s (plain f32)
+    out.append(pltpu.VMEM((n, 2, sub, LANES), dtype))   # s (plain f32)
+    out.append(pltpu.VMEM((n, 2, sub, LANES), dtype))   # axial d00,u00
     return out
 
 
 def _pair_up(scr):
-    """[h0, l0, h1, l1, ..., s_plain] -> [RefPair..., CollapseRef]."""
-    pairs = [RefPair(scr[i], scr[i + 1]) for i in range(0, len(scr) - 1, 2)]
-    return pairs + [CollapseRef(scr[-1])]
+    """[h0, l0, ..., s_plain, ax_plain] -> [RefPair..., CollapseRef, ref]."""
+    pairs = [RefPair(scr[i], scr[i + 1]) for i in range(0, len(scr) - 2, 2)]
+    return pairs + [CollapseRef(scr[-2]), scr[-1]]
+
+
+def _stage_assemble_b2(nelem, Le_ref, free_ref, load_ref, udl_ref,
+                       ks, diag, upper, fy, ax_ref):
+    """Masked bending-only assembly (2 DOF/node: w, theta) + RHS, with
+    the axial chain's diag/upper written unscaled to ``ax_ref`` in plain
+    f32 for the pivot diagnostic.  Same masked-BC scheme as the 3-DOF
+    ops/beam_kernel.py:_stage_assemble: constrained rows/cols zeroed,
+    original diagonal entry restored on the diagonal."""
+    n = nelem + 1
+    zero = ks[0, 0] * 0.0
+
+    w = udl_ref[0, 0]
+
+    def body(i, _):
+        has_prev = i > 0
+        has_next = i < nelem
+
+        def ks_of(j, active):
+            jj = jnp.clip(j, 0, nelem - 1)
+            m = jnp.where(active, 1.0, 0.0).astype(free_ref.dtype)
+            return [ks[jj, k] * m for k in range(5)]
+
+        ea_p, k11_p, k12_p, k13_p, _k2p = ks_of(i - 1, has_prev)
+        ea_n, k11_n, k12_n, k13_n, k2_n = ks_of(i, has_next)
+
+        d11 = k11_p + k11_n
+        d12 = -k12_p + k12_n
+        d22 = k13_p + k13_n
+
+        f0 = free_ref[0, i, 0]
+        f1 = free_ref[0, i, 1]
+        f2 = free_ref[0, i, 2]
+
+        diag[i, 0] = d11 * (f1 * f1 + (1.0 - f1))
+        diag[i, 1] = d12 * (f1 * f2)
+        diag[i, 2] = d22 * (f2 * f2 + (1.0 - f2))
+
+        inx = jnp.clip(i + 1, 0, n - 1)
+        fn0 = free_ref[0, inx, 0]
+        fn1 = free_ref[0, inx, 1]
+        fn2 = free_ref[0, inx, 2]
+        upper[i, 0, 0] = -(k11_n * (f1 * fn1))
+        upper[i, 0, 1] = k12_n * (f1 * fn2)
+        upper[i, 1, 0] = -(k12_n * (f2 * fn1))
+        upper[i, 1, 1] = k2_n * (f2 * fn2)
+
+        # consistent UDL loads + nodal point loads (no axial RHS exists)
+        Le_p = dd_where(has_prev, Le_ref[0, jnp.clip(i - 1, 0, nelem - 1)],
+                        zero)
+        Le_n = dd_where(has_next, Le_ref[0, jnp.clip(i, 0, nelem - 1)],
+                        zero)
+        fyv = (Le_p + Le_n) * w * 0.5 + load_ref[0, i]
+        fm = (Le_n * Le_n - Le_p * Le_p) * w / 12.0
+        fy[i, 0] = fyv * f1
+        fy[i, 1] = fm * f2
+
+        # axial chain (plain f32, unscaled; pivot parity with 3-DOF)
+        d00 = collapse(ea_p + ea_n)
+        ax_ref[i, 0] = d00 * (f0 * f0 + (1.0 - f0))
+        ax_ref[i, 1] = -collapse(ea_n) * (f0 * fn0)
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+def _stage_scale_b2(n, diag, upper, fy, s):
+    """Jacobi scaling of the bending system; s stored collapsed f32
+    (consistency, not precision — any fixed S gives an exactly
+    equivalent scaled system)."""
+
+    def body(i, _):
+        s[i, 0] = dd_rsqrt(diag[i, 0])
+        s[i, 1] = dd_rsqrt(diag[i, 2])
+        s1, s2 = s[i, 0], s[i, 1]   # lifted exact f32
+        diag[i, 0] = diag[i, 0] * s1 * s1
+        diag[i, 1] = diag[i, 1] * s1 * s2
+        diag[i, 2] = diag[i, 2] * s2 * s2
+        fy[i, 0] = fy[i, 0] * s1
+        fy[i, 1] = fy[i, 1] * s2
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+    def body_u(i, _):
+        si = (s[i, 0], s[i, 1])
+        sn = (s[i + 1, 0], s[i + 1, 1])
+        for a in range(2):
+            for b in range(2):
+                upper[i, a, b] = upper[i, a, b] * si[a] * sn[b]
+        return 0
+
+    jax.lax.fori_loop(0, n - 1, body_u, 0)
+
+
+def _inv2_sym(m0, m1, m2):
+    """Inverse + det of a symmetric 2x2 [[m0, m1], [m1, m2]] in dd."""
+    det = m0 * m2 - m1 * m1
+    inv_det = 1.0 / det
+    return m2 * inv_det, -(m1 * inv_det), m0 * inv_det, det
+
+
+def _axial_pivot_step(ax_ref, i, a_prev):
+    """One f32 step of the axial scalar Schur chain (Jacobi-scaled):
+    a_i = d00s_i - u00s_{i-1}^2 / a_{i-1}."""
+    d_prev = ax_ref[i - 1, 0]
+    d_cur = ax_ref[i, 0]
+    r_prev = jax.lax.rsqrt(d_prev)
+    r_cur = jax.lax.rsqrt(d_cur)
+    u00s = ax_ref[i - 1, 1] * r_prev * r_cur
+    d00s = d_cur * r_cur * r_cur
+    return d00s - u00s * u00s / a_prev
+
+
+def _stage_factor_b2(n, diag, upper, fy, ax_ref):
+    """Block-Thomas factorization of the bending 2x2 chain with FUSED
+    forward substitution (y overwrites rhs in place); ``diag`` is
+    rewritten as the Schur INVERSES (D_i is dead once Sinv_i exists —
+    dd has no refinement stage needing the original blocks).  Returns
+    the min 3-DOF-equivalent pivot a_i * |det2(S_i)| as an f32 slab."""
+    d0, d1, d2 = diag[0, 0], diag[0, 1], diag[0, 2]
+    i0, i1, i2, det0 = _inv2_sym(d0, d1, d2)
+    diag[0, 0] = i0
+    diag[0, 1] = i1
+    diag[0, 2] = i2
+    r0, r1 = fy[0, 0], fy[0, 1]
+    fy[0, 0] = i0 * r0 + i1 * r1
+    fy[0, 1] = i1 * r0 + i2 * r1
+    a0 = ax_ref[0, 0] * jax.lax.rsqrt(ax_ref[0, 0]) ** 2
+    piv0 = a0 * absval(det0)
+
+    def fwd(i, carry):
+        min_piv, a_prev = carry
+        u00 = upper[i - 1, 0, 0]
+        u01 = upper[i - 1, 0, 1]
+        u10 = upper[i - 1, 1, 0]
+        u11 = upper[i - 1, 1, 1]
+        s00 = diag[i - 1, 0]
+        s01 = diag[i - 1, 1]
+        s11 = diag[i - 1, 2]
+        # W = Sinv_{i-1} U_{i-1}
+        w00 = s00 * u00 + s01 * u10
+        w01 = s00 * u01 + s01 * u11
+        w10 = s01 * u00 + s11 * u10
+        w11 = s01 * u01 + s11 * u11
+        # S_i = D_i - U^T W (symmetric)
+        S0 = diag[i, 0] - (u00 * w00 + u10 * w10)
+        S1 = diag[i, 1] - (u00 * w01 + u10 * w11)
+        S2 = diag[i, 2] - (u01 * w01 + u11 * w11)
+        i0_, i1_, i2_, det = _inv2_sym(S0, S1, S2)
+        diag[i, 0] = i0_
+        diag[i, 1] = i1_
+        diag[i, 2] = i2_
+        # fused forward substitution: y_i = Sinv_i (f_i - U^T y_{i-1})
+        yp0, yp1 = fy[i - 1, 0], fy[i - 1, 1]
+        r0_ = fy[i, 0] - (u00 * yp0 + u10 * yp1)
+        r1_ = fy[i, 1] - (u01 * yp0 + u11 * yp1)
+        fy[i, 0] = i0_ * r0_ + i1_ * r1_
+        fy[i, 1] = i1_ * r0_ + i2_ * r1_
+
+        a_i = _axial_pivot_step(ax_ref, i, a_prev)
+        return (jnp.minimum(min_piv, a_i * absval(det)), a_i)
+
+    min_piv, _ = jax.lax.fori_loop(1, n, fwd, (piv0, a0))
+    return min_piv
+
+
+def _back_substitute_b2(n, upper, diag, fy):
+    """x_i = y_i - Sinv_i (U_i x_{i+1}) in place (y in fy on entry;
+    ``diag`` holds the Schur inverses after _stage_factor_b2)."""
+
+    def bwd(k, _):
+        i = n - 2 - k
+        x0, x1 = fy[i + 1, 0], fy[i + 1, 1]
+        v0 = upper[i, 0, 0] * x0 + upper[i, 0, 1] * x1
+        v1 = upper[i, 1, 0] * x0 + upper[i, 1, 1] * x1
+        s00, s01, s11 = diag[i, 0], diag[i, 1], diag[i, 2]
+        fy[i, 0] = fy[i, 0] - (s00 * v0 + s01 * v1)
+        fy[i, 1] = fy[i, 1] - (s01 * v0 + s11 * v1)
+        return 0
+
+    jax.lax.fori_loop(0, n - 1, bwd, 0)
 
 
 def _dd_solve_stages(I_ref, Le_ref, free_ref, load_ref, udl_ref,
                      ea_ref, e_ref, scr):
-    """Shared dd pipeline: stiffness -> assembly -> scale -> factor with
-    FUSED forward substitution (y overwrites the rhs in place — rhs[i] is
-    consumed exactly when y[i] is produced) -> back substitution.
-    Returns (ks, s, y, pivot f32 slab, nelem)."""
-    ks, diag, upper, fy, sinv, s = _pair_up(scr)
+    """dd pipeline: stiffness -> bending-only assembly -> scale ->
+    factor with fused forward substitution -> back substitution.
+    Returns (ks, s, y, pivot f32 slab, nelem); y/s are 2-component
+    (w, theta) — u_x is identically zero (module comment above)."""
+    ks, diag, upper, fy, s, ax = _pair_up(scr)
     nelem = I_ref.shape[1]
     n = nelem + 1
     E = DD.lift(e_ref[0, 0])
     EA = DD.lift(ea_ref[0, 0])
 
     _stage_stiffness(nelem, LiftRef(I_ref), LiftRef(Le_ref), E, EA, ks)
-    _stage_assemble(nelem, LiftRef(Le_ref), free_ref, load_ref, udl_ref,
-                    None, ks, diag, upper, fy)
-    _stage_scale(n, diag, upper, fy, s)
-    piv = _stage_factor(n, diag, upper, sinv, None, fy, fy)
-    _back_substitute(n, upper, sinv, fy)
+    _stage_assemble_b2(nelem, LiftRef(Le_ref), free_ref, load_ref,
+                       udl_ref, ks, diag, upper, fy, ax)
+    _stage_scale_b2(n, diag, upper, fy, s)
+    piv = _stage_factor_b2(n, diag, upper, fy, ax)
+    _back_substitute_b2(n, upper, diag, fy)
     return ks, s, fy, piv, nelem
 
 
 def _dd_u(y, s, i, a):
-    """Unscaled displacement u = y * s as DD."""
+    """Unscaled displacement component a in {0: w, 1: theta} as DD."""
     return y[i, a] * s[i, a]
 
 
@@ -142,8 +343,8 @@ def _dd_VM(ks, Le_ref, y, s, w, j):
     """Element end forces (V, M) as DD at element j (w: plain f32 udl)."""
     k11, k12, k13, k2 = ks[j, 1], ks[j, 2], ks[j, 3], ks[j, 4]
     Le = DD.lift(Le_ref[0, j])
-    uy_i, th_i = _dd_u(y, s, j, 1), _dd_u(y, s, j, 2)
-    uy_j, th_j = _dd_u(y, s, j + 1, 1), _dd_u(y, s, j + 1, 2)
+    uy_i, th_i = _dd_u(y, s, j, 0), _dd_u(y, s, j, 1)
+    uy_j, th_j = _dd_u(y, s, j + 1, 0), _dd_u(y, s, j + 1, 1)
     V = (k11 * uy_i + k12 * th_i - k11 * uy_j + k12 * th_j
          - Le * w * 0.5)
     M = (k12 * uy_i + k13 * th_i - k12 * uy_j + k2 * th_j
@@ -166,9 +367,13 @@ def _beam_dd_kernel(recover_forces, *refs):
     n = nelem + 1
     piv_out[0, 0] = piv
 
+    zero = collapse(y[0, 0]) * 0.0
+
     def unscale(i, _):
-        for a in range(3):
-            u_out[0, i, a] = collapse(_dd_u(y, s, i, a))
+        # u_x is identically zero in the bending-only formulation
+        u_out[0, i, 0] = zero
+        u_out[0, i, 1] = collapse(_dd_u(y, s, i, 0))
+        u_out[0, i, 2] = collapse(_dd_u(y, s, i, 1))
         return 0
 
     jax.lax.fori_loop(0, n, unscale, 0)

@@ -160,8 +160,11 @@ def test_auto_rescue_mode_respects_dd_ceiling(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert fits_dd(101)
     assert _auto_rescue_mode(101) == "dd"
-    assert not fits_dd(501)
-    assert _auto_rescue_mode(501) == "f64"
+    # the r4 bending-only layout raised the opt-kernel ceiling to ~720
+    assert fits_dd(501)
+    assert _auto_rescue_mode(501) == "dd"
+    assert not fits_dd(801)
+    assert _auto_rescue_mode(801) == "f64"
 
     monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
     assert _auto_rescue_mode(101) == "f64"

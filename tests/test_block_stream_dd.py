@@ -2,9 +2,9 @@
 
 The acceptance bar extends the resident dd kernel's (test_beam_kernel_dd):
 dd-grade agreement with float64 on the ill-conditioned tail, but with NO
-mesh-size ceiling — the n=641 case below is past the resident dd kernel's
-VMEM range (pick_sub(_FLOATS_ANALYSIS) is None there), the regime where
-round 3 previously had to fall back to host float64.
+mesh-size ceiling — the n=641 case below was past the ROUND-3 resident dd
+kernel's VMEM range (the r4 bending-only layout fits it resident; the
+streamed kernel remains the no-ceiling path past ~750 nodes).
 """
 
 import jax
@@ -59,7 +59,7 @@ def test_streamed_dd_matches_f64_on_ill_conditioned_tail():
 
 
 def test_streamed_dd_past_resident_ceiling():
-    """n=641 — past the resident dd analysis kernel's VMEM range — a
+    """n=641 — past the ROUND-3 resident dd kernel's VMEM range — a
     span-scaled 1280 m beam (Le = 2 m): one lane with a 256 m tail
     overhang (pivot ~1e-12, the ill-but-valid regime where float32 is
     ~15% wrong) and one fully-supported lane, against float64.
@@ -70,8 +70,14 @@ def test_streamed_dd_past_resident_ceiling():
     5.2e-4 at n=641 on a 200 m span), which no 48-bit arithmetic can fix;
     solve_beam_checked's certification reports exactly that."""
     n = 641
-    assert pick_sub(n, _FLOATS_ANALYSIS) is None, (
-        "mesh not past the resident dd ceiling; raise n"
+    # n=641 was past the round-3 3x3 layout's resident ceiling (~430
+    # nodes); the round-4 bending-only layout fits it resident (ceiling
+    # ~750), so the streamed kernel is driven EXPLICITLY here (it is the
+    # no-ceiling path for everything beyond) — assert the ceiling is
+    # where the layout says it is so auto-dispatch stays honest.
+    assert pick_sub(n, _FLOATS_ANALYSIS) == 1
+    assert pick_sub(801, _FLOATS_ANALYSIS) is None, (
+        "resident dd ceiling moved; update this premise"
     )
     node_x = jnp.linspace(0.0, 2.0 * (n - 1), n, dtype=jnp.float32)
     ill_tags = jnp.arange(63, 513, 64)       # supported to node 511
