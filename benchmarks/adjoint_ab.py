@@ -59,11 +59,22 @@ def run_mode(mode: str, samples: int, batch: int, epochs: int):
     n_valid = int(arrays["valid"].sum())
     t_gen = time.time() - t0
 
+    # One extra warm batch for a steady-state rate (the loop above pays the
+    # one-time remote compile, which is 10x-variance on this tunnel).
+    t0 = time.time()
+    b = generate_batch(
+        jax.random.fold_in(jax.random.PRNGKey(1), 0), batch,
+        scen_cfg=scen, opt_cfg=opt_cfg,
+    )
+    float(b.result.loss.total.sum())  # force completion through the tunnel
+    warm_rate = batch / (time.time() - t0)
+
     st = {k: np.concatenate([s[k] for s in stats]) for k in stats[0]}
     v = st["valid"]
     traj = dict(
         gen_s=t_gen,
         samples_per_s=samples / t_gen,
+        warm_samples_per_s=warm_rate,
         valid_frac=float(v.mean()),
         mean_epochs=float(st["n_epochs"][v].mean()),
         converged_frac=float(st["converged"][v].mean()),
@@ -97,7 +108,9 @@ def run_mode(mode: str, samples: int, batch: int, epochs: int):
           f"{t_train:.1f}s  val R2 {r2:.4f}", flush=True)
     traj.update(r2=float(r2), train_s=t_train,
                 train_epochs=len(res.train_losses))
-    return traj
+    # Per-lane arrays for paired (same scenario key) comparison across modes.
+    lanes = dict(total=st["total"], n_epochs=st["n_epochs"], valid=v)
+    return traj, lanes
 
 
 def main():
@@ -107,16 +120,35 @@ def main():
     ap.add_argument("--epochs", type=int, default=120)
     args = ap.parse_args()
 
-    out = {}
+    out, lanes = {}, {}
     for mode in ("semi", "adjoint"):
-        out[mode] = run_mode(mode, args.samples, args.batch, args.epochs)
+        out[mode], lanes[mode] = run_mode(mode, args.samples, args.batch,
+                                          args.epochs)
 
     s, a = out["semi"], out["adjoint"]
     print("\n=== A/B summary (matched scenario keys) ===")
-    for k in ("samples_per_s", "valid_frac", "mean_epochs",
-              "converged_frac", "mean_total_loss", "mean_primary", "r2"):
+    for k in ("samples_per_s", "warm_samples_per_s", "valid_frac",
+              "mean_epochs", "converged_frac", "mean_total_loss",
+              "mean_primary", "r2"):
         print(f"{k:18s}  semi {s[k]:12.4f}   adjoint {a[k]:12.4f}")
-    print(f"adjoint datagen throughput = {a['samples_per_s']/s['samples_per_s']:.2%} of semi")
+    print("adjoint steady-state datagen throughput = "
+          f"{a['warm_samples_per_s']/s['warm_samples_per_s']:.2%} of semi")
+
+    # Paired per-lane trajectory comparison: both modes optimized the SAME
+    # scenarios in the same lane order, so lane i pairs across modes.
+    both = lanes["semi"]["valid"] & lanes["adjoint"]["valid"]
+    d_total = (lanes["adjoint"]["total"] - lanes["semi"]["total"])[both]
+    d_ep = (lanes["adjoint"]["n_epochs"].astype(np.int64)
+            - lanes["semi"]["n_epochs"].astype(np.int64))[both]
+    rel = d_total / np.abs(lanes["semi"]["total"][both])
+    print("\n=== paired per-lane deltas (adjoint - semi), "
+          f"{int(both.sum()):,} lanes ===")
+    print(f"total loss:  mean {d_total.mean():+.4f}  "
+          f"median {np.median(d_total):+.4f}  "
+          f"rel mean {rel.mean():+.3%}  "
+          f"adjoint lower on {(d_total < 0).mean():.1%} of lanes")
+    print(f"epochs:      mean {d_ep.mean():+.2f}  "
+          f"median {np.median(d_ep):+.1f}")
 
 
 if __name__ == "__main__":
