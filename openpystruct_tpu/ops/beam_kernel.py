@@ -44,7 +44,9 @@ from openpystruct_tpu.ops.block_tridiag import (
     LANES,
     SUB,
     TILE,
+    _VMEM_BUDGET,
     pick_sub,
+    _inv2_sym,
     _inv3_slabs,
     _mm,
     _mv,
@@ -360,6 +362,320 @@ def _stage_refine(n, refine, diag_scr, upper_scr, sinv_scr, rhs_ref, x_ref,
 
 
 # ---------------------------------------------------------------------------
+# Bending-only (2-DOF) stages — round 4's dd discovery applied to the f32
+# production kernels.
+#
+# The straight-beam 3-DOF system is block-diagonal per DOF class: the axial
+# DOF u_x couples only to u_x (see the zero off-entries _stage_assemble
+# writes) and its RHS is identically zero — the scenario schema has no
+# x-direction loads (OpenPyStruct_BeamOpt.py:112-119 applies vertical point
+# loads and '-beamUniform' only).  So u_x == 0 exactly and the bending
+# (w, theta) 2x2 chain carries the entire solution.  Factoring 2x2 blocks
+# instead of 3x3 cuts the per-node multiply count ~2.6x and (unlike the
+# 3-DOF layout) leaves a working set small enough for FULL-DEPTH (8, 128)
+# slabs at reference sizes — shallow slabs cost a whole vreg op regardless
+# of depth, so both factors land on the hot path.
+#
+# Unlike the dd rescue kernels (ops/beam_kernel_dd.py, no refinement),
+# the f32 pipeline keeps the original scaled system (diag/upper/rhs) for
+# the compensated-residual refinement and the in-kernel adjoint, so the
+# Schur inverses are stored separately rather than overwriting D in place.
+#
+# The Schur-pivot diagnostic keeps its 3-DOF semantics: the chain's Schur
+# complements are block-diagonal too, so det3(S_i) = a_i * det2(S2_i) with
+# a_i the scalar axial Schur pivot — tracked alongside the bending
+# factorization exactly as in the dd kernels, keeping validity thresholds
+# calibrated identically.
+# ---------------------------------------------------------------------------
+
+
+def _axial_pivot_step(ax_ref, i, a_prev):
+    """One f32 step of the axial scalar Schur chain (Jacobi-scaled):
+    a_i = d00s_i - u00s_{i-1}^2 / a_{i-1}."""
+    d_prev = ax_ref[i - 1, 0]
+    d_cur = ax_ref[i, 0]
+    r_prev = jax.lax.rsqrt(d_prev)
+    r_cur = jax.lax.rsqrt(d_cur)
+    u00s = ax_ref[i - 1, 1] * r_prev * r_cur
+    d00s = d_cur * r_cur * r_cur
+    return d00s - u00s * u00s / a_prev
+
+
+def _assemble_b2(nelem, Le_ref, free_ref, load_ref, udl_ref,
+                 ks_scr, diag_scr, upper_scr, f_scr, ax_scr=None):
+    """Masked bending-only assembly (2 DOF/node: w, theta) + RHS.
+
+    ``diag_scr`` holds the symmetric diagonal blocks as (n, 3) rows
+    [d_ww, d_wt, d_tt]; ``upper_scr`` the full (n, 2, 2) coupling blocks.
+    When ``ax_scr`` is given, the axial chain's unscaled d00/u00 are
+    written there for the pivot diagnostic.  Same masked-BC scheme as
+    ``_stage_assemble``: constrained rows/cols zeroed, original diagonal
+    entry restored on the diagonal."""
+    n = nelem + 1
+    zero = _zeros_entry(ks_scr[0, 0])
+    w = udl_ref[0, 0]
+
+    def body(i, _):
+        has_prev = i > 0
+        has_next = i < nelem
+
+        def ks_of(j, active):
+            jj = jnp.clip(j, 0, nelem - 1)
+            m = jnp.where(active, 1.0, 0.0).astype(free_ref.dtype)
+            return [ks_scr[jj, k] * m for k in range(5)]
+
+        ea_p, k11_p, k12_p, k13_p, _k2p = ks_of(i - 1, has_prev)
+        ea_n, k11_n, k12_n, k13_n, k2_n = ks_of(i, has_next)
+
+        d11 = k11_p + k11_n
+        d12 = -k12_p + k12_n
+        d22 = k13_p + k13_n
+
+        f0 = free_ref[0, i, 0]
+        f1 = free_ref[0, i, 1]
+        f2 = free_ref[0, i, 2]
+
+        diag_scr[i, 0] = d11 * (f1 * f1 + (1.0 - f1))
+        diag_scr[i, 1] = d12 * (f1 * f2)
+        diag_scr[i, 2] = d22 * (f2 * f2 + (1.0 - f2))
+
+        inx = jnp.clip(i + 1, 0, n - 1)
+        fn0 = free_ref[0, inx, 0]
+        fn1 = free_ref[0, inx, 1]
+        fn2 = free_ref[0, inx, 2]
+        upper_scr[i, 0, 0] = -(k11_n * (f1 * fn1))
+        upper_scr[i, 0, 1] = k12_n * (f1 * fn2)
+        upper_scr[i, 1, 0] = -(k12_n * (f2 * fn1))
+        upper_scr[i, 1, 1] = k2_n * (f2 * fn2)
+
+        # consistent UDL loads + nodal point loads (no axial RHS exists)
+        Le_p = _dd_where(has_prev, Le_ref[0, jnp.clip(i - 1, 0, nelem - 1)],
+                         zero)
+        Le_n = _dd_where(has_next, Le_ref[0, jnp.clip(i, 0, nelem - 1)],
+                         zero)
+        fy = (Le_p + Le_n) * w * 0.5 + load_ref[0, i]
+        fm = (Le_n * Le_n - Le_p * Le_p) * w / 12.0
+        f_scr[i, 0] = fy * f1
+        f_scr[i, 1] = fm * f2
+
+        if ax_scr is not None:
+            d00 = ea_p + ea_n
+            ax_scr[i, 0] = d00 * (f0 * f0 + (1.0 - f0))
+            ax_scr[i, 1] = -ea_n * (f0 * fn0)
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+def _scale_b2(n, diag_scr, upper_scr, f_scr, s_scr):
+    """Jacobi scaling of the bending system (s = rsqrt(diag))."""
+
+    def body(i, _):
+        s_scr[i, 0] = _dd_rsqrt(diag_scr[i, 0])
+        s_scr[i, 1] = _dd_rsqrt(diag_scr[i, 2])
+        s1, s2 = s_scr[i, 0], s_scr[i, 1]
+        diag_scr[i, 0] = diag_scr[i, 0] * s1 * s1
+        diag_scr[i, 1] = diag_scr[i, 1] * s1 * s2
+        diag_scr[i, 2] = diag_scr[i, 2] * s2 * s2
+        f_scr[i, 0] = f_scr[i, 0] * s1
+        f_scr[i, 1] = f_scr[i, 1] * s2
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+    def body_u(i, _):
+        si = (s_scr[i, 0], s_scr[i, 1])
+        sn = (s_scr[i + 1, 0], s_scr[i + 1, 1])
+        for a in range(2):
+            for b in range(2):
+                upper_scr[i, a, b] = upper_scr[i, a, b] * si[a] * sn[b]
+        return 0
+
+    jax.lax.fori_loop(0, n - 1, body_u, 0)
+
+
+def _factor_b2(n, diag_scr, upper_scr, sinv_scr, f_ref, y_ref,
+               c_scr=None, ax_scr=None):
+    """Block-Thomas factorization of the bending 2x2 chain with FUSED
+    forward substitution (y written to ``y_ref``; ``f_ref`` preserved for
+    refinement residuals).  ``sinv_scr`` receives the symmetric Schur
+    inverses as (n, 3) rows; ``c_scr``, when given, the back-substitution
+    multipliers C_i = Sinv_i U_i.  Returns the min pivot — the 3-DOF-
+    equivalent a_i * |det2(S_i)| when ``ax_scr`` tracks the axial chain,
+    plain |det2| otherwise (callers that never read it)."""
+    i0, i1, i2, det0 = _inv2_sym(diag_scr[0, 0], diag_scr[0, 1],
+                                 diag_scr[0, 2])
+    sinv_scr[0, 0] = i0
+    sinv_scr[0, 1] = i1
+    sinv_scr[0, 2] = i2
+    if c_scr is not None:
+        u00, u01 = upper_scr[0, 0, 0], upper_scr[0, 0, 1]
+        u10, u11 = upper_scr[0, 1, 0], upper_scr[0, 1, 1]
+        c_scr[0, 0, 0] = i0 * u00 + i1 * u10
+        c_scr[0, 0, 1] = i0 * u01 + i1 * u11
+        c_scr[0, 1, 0] = i1 * u00 + i2 * u10
+        c_scr[0, 1, 1] = i1 * u01 + i2 * u11
+    r0, r1 = f_ref[0, 0], f_ref[0, 1]
+    y_ref[0, 0] = i0 * r0 + i1 * r1
+    y_ref[0, 1] = i1 * r0 + i2 * r1
+
+    det0 = _absval(det0)
+    if ax_scr is not None:
+        a0 = ax_scr[0, 0] * jax.lax.rsqrt(ax_scr[0, 0]) ** 2
+        carry0 = (a0 * det0, a0)
+    else:
+        carry0 = (det0, det0)
+
+    def fwd(i, carry):
+        min_piv, a_prev = carry
+        u00 = upper_scr[i - 1, 0, 0]
+        u01 = upper_scr[i - 1, 0, 1]
+        u10 = upper_scr[i - 1, 1, 0]
+        u11 = upper_scr[i - 1, 1, 1]
+        if c_scr is not None:
+            w00 = c_scr[i - 1, 0, 0]
+            w01 = c_scr[i - 1, 0, 1]
+            w10 = c_scr[i - 1, 1, 0]
+            w11 = c_scr[i - 1, 1, 1]
+        else:
+            s00 = sinv_scr[i - 1, 0]
+            s01 = sinv_scr[i - 1, 1]
+            s11 = sinv_scr[i - 1, 2]
+            w00 = s00 * u00 + s01 * u10
+            w01 = s00 * u01 + s01 * u11
+            w10 = s01 * u00 + s11 * u10
+            w11 = s01 * u01 + s11 * u11
+        # S_i = D_i - U^T W (symmetric)
+        S0 = diag_scr[i, 0] - (u00 * w00 + u10 * w10)
+        S1 = diag_scr[i, 1] - (u00 * w01 + u10 * w11)
+        S2 = diag_scr[i, 2] - (u01 * w01 + u11 * w11)
+        i0_, i1_, i2_, det = _inv2_sym(S0, S1, S2)
+        sinv_scr[i, 0] = i0_
+        sinv_scr[i, 1] = i1_
+        sinv_scr[i, 2] = i2_
+        if c_scr is not None:
+            un00 = upper_scr[i, 0, 0]
+            un01 = upper_scr[i, 0, 1]
+            un10 = upper_scr[i, 1, 0]
+            un11 = upper_scr[i, 1, 1]
+            c_scr[i, 0, 0] = i0_ * un00 + i1_ * un10
+            c_scr[i, 0, 1] = i0_ * un01 + i1_ * un11
+            c_scr[i, 1, 0] = i1_ * un00 + i2_ * un10
+            c_scr[i, 1, 1] = i1_ * un01 + i2_ * un11
+        # fused forward substitution: y_i = Sinv_i (f_i - U^T y_{i-1})
+        yp0, yp1 = y_ref[i - 1, 0], y_ref[i - 1, 1]
+        r0_ = f_ref[i, 0] - (u00 * yp0 + u10 * yp1)
+        r1_ = f_ref[i, 1] - (u01 * yp0 + u11 * yp1)
+        y_ref[i, 0] = i0_ * r0_ + i1_ * r1_
+        y_ref[i, 1] = i1_ * r0_ + i2_ * r1_
+
+        det = _absval(det)
+        if ax_scr is not None:
+            a_i = _axial_pivot_step(ax_scr, i, a_prev)
+            return (jnp.minimum(min_piv, a_i * det), a_i)
+        return (jnp.minimum(min_piv, det), a_prev)
+
+    min_piv, _ = jax.lax.fori_loop(1, n, fwd, carry0)
+    return min_piv
+
+
+def _bsub_b2(n, upper_scr, sinv_scr, x_ref, c_scr=None):
+    """x_i = y_i - C_i x_{i+1} in place (y in x_ref on entry; C read from
+    ``c_scr`` when stored, else recomputed as Sinv_i (U_i x_{i+1}))."""
+
+    def bwd(k, _):
+        i = n - 2 - k
+        x0, x1 = x_ref[i + 1, 0], x_ref[i + 1, 1]
+        if c_scr is not None:
+            v0 = c_scr[i, 0, 0] * x0 + c_scr[i, 0, 1] * x1
+            v1 = c_scr[i, 1, 0] * x0 + c_scr[i, 1, 1] * x1
+        else:
+            t0 = upper_scr[i, 0, 0] * x0 + upper_scr[i, 0, 1] * x1
+            t1 = upper_scr[i, 1, 0] * x0 + upper_scr[i, 1, 1] * x1
+            s00 = sinv_scr[i, 0]
+            s01 = sinv_scr[i, 1]
+            s11 = sinv_scr[i, 2]
+            v0 = s00 * t0 + s01 * t1
+            v1 = s01 * t0 + s11 * t1
+        x_ref[i, 0] = x_ref[i, 0] - v0
+        x_ref[i, 1] = x_ref[i, 1] - v1
+        return 0
+
+    jax.lax.fori_loop(0, n - 1, bwd, 0)
+
+
+def _subst_b2(n, upper_scr, sinv_scr, x_ref, c_scr=None):
+    """Solve K_s x = rhs in place (x_ref holds rhs on entry, x on exit)
+    with the saved 2x2 factors."""
+    s00, s01, s11 = sinv_scr[0, 0], sinv_scr[0, 1], sinv_scr[0, 2]
+    r0, r1 = x_ref[0, 0], x_ref[0, 1]
+    x_ref[0, 0] = s00 * r0 + s01 * r1
+    x_ref[0, 1] = s01 * r0 + s11 * r1
+
+    def fwd(i, _):
+        u00 = upper_scr[i - 1, 0, 0]
+        u01 = upper_scr[i - 1, 0, 1]
+        u10 = upper_scr[i - 1, 1, 0]
+        u11 = upper_scr[i - 1, 1, 1]
+        xp0, xp1 = x_ref[i - 1, 0], x_ref[i - 1, 1]
+        r0_ = x_ref[i, 0] - (u00 * xp0 + u10 * xp1)
+        r1_ = x_ref[i, 1] - (u01 * xp0 + u11 * xp1)
+        s00_ = sinv_scr[i, 0]
+        s01_ = sinv_scr[i, 1]
+        s11_ = sinv_scr[i, 2]
+        x_ref[i, 0] = s00_ * r0_ + s01_ * r1_
+        x_ref[i, 1] = s01_ * r0_ + s11_ * r1_
+        return 0
+
+    jax.lax.fori_loop(1, n, fwd, 0)
+    _bsub_b2(n, upper_scr, sinv_scr, x_ref, c_scr)
+
+
+def _refine_b2(n, refine, diag_scr, upper_scr, sinv_scr, rhs_ref, x_ref,
+               work_ref, c_scr=None):
+    """``refine`` compensated-residual sweeps on the bending chain; each
+    is one error-free residual + one substitution against the saved
+    factors (no refactorization)."""
+    for _ in range(refine):
+        def resid_body(i, _):
+            one = jnp.ones_like(rhs_ref[0, 0])
+            m_prev = jnp.where(i > 0, one, 0.0 * one)
+            m_next = jnp.where(i < n - 1, one, 0.0 * one)
+            ip = jnp.maximum(i - 1, 0)
+            iq = jnp.minimum(i, n - 2)
+            inx = jnp.minimum(i + 1, n - 1)
+            x_i = [x_ref[i, b] for b in range(2)]
+            x_p = [x_ref[ip, b] * m_prev for b in range(2)]
+            x_n = [x_ref[inx, b] * m_next for b in range(2)]
+            m_d = [[diag_scr[i, 0], diag_scr[i, 1]],
+                   [diag_scr[i, 1], diag_scr[i, 2]]]
+            lm = [[upper_scr[ip, 0, 0], upper_scr[ip, 1, 0]],
+                  [upper_scr[ip, 0, 1], upper_scr[ip, 1, 1]]]   # U^T
+            um = [[upper_scr[iq, 0, 0], upper_scr[iq, 0, 1]],
+                  [upper_scr[iq, 1, 0], upper_scr[iq, 1, 1]]]
+            for a in range(2):
+                acc_s = rhs_ref[i, a]
+                acc_c = jnp.zeros_like(acc_s)
+                for b in range(2):
+                    for mat, vec in ((m_d, x_i), (lm, x_p), (um, x_n)):
+                        p, e = _two_prod(-mat[a][b], vec[b])
+                        acc_s, e2 = _two_sum(acc_s, p)
+                        acc_c = acc_c + e2 + e
+                work_ref[i, a] = acc_s + acc_c
+            return 0
+
+        jax.lax.fori_loop(0, n, resid_body, 0)
+        _subst_b2(n, upper_scr, sinv_scr, work_ref, c_scr)
+
+        def addcorr(i, _):
+            for a in range(2):
+                x_ref[i, a] = x_ref[i, a] + work_ref[i, a]
+            return 0
+
+        jax.lax.fori_loop(0, n, addcorr, 0)
+
+
+# ---------------------------------------------------------------------------
 # Kernel bodies
 # ---------------------------------------------------------------------------
 
@@ -432,16 +748,83 @@ def _beam_kernel(refine, explicit_rhs, recover_forces, *refs):
     jax.lax.fori_loop(0, nelem, force_body, 0)
 
 
-def _beam_opt_kernel(refine, grad_semi, G, alpha_m, alpha_s, clamp_min,
-                     *refs):
-    """One whole Adam iteration of the I-field optimization in VMEM.
+def _beam_kernel_b2(refine, recover_forces, *refs):
+    """Bending-only FEA kernel: u (+ V, M) + pivot for one slab.
 
-    Loss semantics: sum(I) + alpha_m sum(M^2/(2EI+1e-6)) +
-    alpha_s sum(V^2/(G 0.03 sqrt(I))) (OpenPyStruct_BeamOpt.py:128-168).
-    ``grad_semi`` selects the reference's semi-gradient (M, V constant) or
-    the exact adjoint: d/dI of the loss through the solve, computed with
-    one extra substitution pair against the saved factorization.
-    """
+    Contract identical to ``_beam_kernel`` with implicit loads (u_x is
+    written as exact zero — the module comment above _assemble_b2)."""
+    (I_ref, Le_ref, free_ref, load_ref, udl_ref, ea_ref, e_ref,
+     *refs) = refs
+    if recover_forces:
+        u_out, V_out, M_out, piv_out, *refs = refs
+    else:
+        u_out, piv_out, *refs = refs
+    (ks_scr, diag_scr, upper_scr, f_scr, s_scr, sinv_scr, c_scr, y_scr,
+     ax_scr) = refs
+
+    nelem = I_ref.shape[1]
+    n = nelem + 1
+    E = e_ref[0, 0]
+    EA = ea_ref[0, 0]
+
+    _stage_stiffness(nelem, I_ref, Le_ref, E, EA, ks_scr)
+    _assemble_b2(nelem, Le_ref, free_ref, load_ref, udl_ref,
+                 ks_scr, diag_scr, upper_scr, f_scr, ax_scr)
+    _scale_b2(n, diag_scr, upper_scr, f_scr, s_scr)
+    piv_out[0, 0] = _factor_b2(n, diag_scr, upper_scr, sinv_scr, f_scr,
+                               y_scr, c_scr, ax_scr)
+    _bsub_b2(n, upper_scr, sinv_scr, y_scr, c_scr)
+    # refinement work vector: borrow the (n, 3) u output block (first two
+    # components; overwritten with the real displacements right after)
+    _refine_b2(n, refine, diag_scr, upper_scr, sinv_scr, f_scr, y_scr,
+               u_out.at[0], c_scr)
+
+    zero = y_scr[0, 0] * 0.0
+
+    def unscale(i, _):
+        u_out[0, i, 0] = zero                        # u_x == 0 exactly
+        u_out[0, i, 1] = y_scr[i, 0] * s_scr[i, 0]
+        u_out[0, i, 2] = y_scr[i, 1] * s_scr[i, 1]
+        return 0
+
+    jax.lax.fori_loop(0, n, unscale, 0)
+
+    if not recover_forces:
+        return
+    w = udl_ref[0, 0]
+
+    def force_body(j, _):
+        k11 = ks_scr[j, 1]
+        k12 = ks_scr[j, 2]
+        k13 = ks_scr[j, 3]
+        k2 = ks_scr[j, 4]
+        Le = Le_ref[0, j]
+        uy_i = u_out[0, j, 1]
+        th_i = u_out[0, j, 2]
+        uy_j = u_out[0, j + 1, 1]
+        th_j = u_out[0, j + 1, 2]
+        V_out[0, j] = (
+            k11 * uy_i + k12 * th_i - k11 * uy_j + k12 * th_j
+            - w * Le * 0.5
+        )
+        M_out[0, j] = (
+            k12 * uy_i + k13 * th_i - k12 * uy_j + k2 * th_j
+            - w * Le * Le / 12.0
+        )
+        return 0
+
+    jax.lax.fori_loop(0, nelem, force_body, 0)
+
+
+def _beam_opt_kernel_b2(refine, grad_semi, G, alpha_m, alpha_s, clamp_min,
+                        *refs):
+    """One whole Adam iteration on the bending-only chain.
+
+    Semantics identical to ``_beam_opt_kernel`` (loss per
+    OpenPyStruct_BeamOpt.py:128-168, semi or exact-adjoint gradient);
+    no axial chain at all — nothing here reads the pivot, the loss sees
+    only bending quantities, and the adjoint RHS has zero axial component
+    by construction."""
     (I_ref, Le_ref, free_ref, load_ref, udl_ref, ea_ref, e_ref,
      mu_ref, nu_ref, hyp_ref,
      I_out, mu_out, nu_out, stats_out,
@@ -455,18 +838,16 @@ def _beam_opt_kernel(refine, grad_semi, G, alpha_m, alpha_s, clamp_min,
     E = e_ref[0, 0]
     EA = ea_ref[0, 0]
     w = udl_ref[0, 0]
-    dtype = E.dtype
 
     # ---- solve at the current I ----------------------------------------
     _stage_stiffness(nelem, I_ref, Le_ref, E, EA, ks_scr)
-    _stage_assemble(nelem, Le_ref, free_ref, load_ref, udl_ref, None,
-                    ks_scr, diag_scr, upper_scr, f_scr)
-    _stage_scale(n, diag_scr, upper_scr, f_scr, s_scr)
-    # factor + forward substitution fused in one serial sweep
-    _stage_factor(n, diag_scr, upper_scr, sinv_scr, None, f_scr, y_scr)
-    _back_substitute(n, upper_scr, sinv_scr, y_scr)
-    _stage_refine(n, refine, diag_scr, upper_scr, sinv_scr, f_scr, y_scr,
-                  r_scr)
+    _assemble_b2(nelem, Le_ref, free_ref, load_ref, udl_ref,
+                 ks_scr, diag_scr, upper_scr, f_scr)
+    _scale_b2(n, diag_scr, upper_scr, f_scr, s_scr)
+    _factor_b2(n, diag_scr, upper_scr, sinv_scr, f_scr, y_scr)
+    _bsub_b2(n, upper_scr, sinv_scr, y_scr)
+    _refine_b2(n, refine, diag_scr, upper_scr, sinv_scr, f_scr, y_scr,
+               r_scr)
 
     # ---- forces, loss, explicit dL/dI per element -----------------------
     def u_at(i, a):
@@ -480,8 +861,8 @@ def _beam_opt_kernel(refine, grad_semi, G, alpha_m, alpha_s, clamp_min,
         k2 = ks_scr[j, 4]
         Le = Le_ref[0, j]
         I_j = I_ref[0, j]
-        uy_i, th_i = u_at(j, 1), u_at(j, 2)
-        uy_j, th_j = u_at(j + 1, 1), u_at(j + 1, 2)
+        uy_i, th_i = u_at(j, 0), u_at(j, 1)
+        uy_j, th_j = u_at(j + 1, 0), u_at(j + 1, 1)
         V = (k11 * uy_i + k12 * th_i - k11 * uy_j + k12 * th_j
              - w * Le * 0.5)
         M = (k12 * uy_i + k13 * th_i - k12 * uy_j + k2 * th_j
@@ -519,8 +900,8 @@ def _beam_opt_kernel(refine, grad_semi, G, alpha_m, alpha_s, clamp_min,
 
     if not grad_semi:
         # ---- adjoint: K lam = g_hat with the saved factors --------------
-        # scatter (dV/du)^T gV + (dM/du)^T gM onto nodes, project to free
-        # DOFs, pre-scale into the Jacobi space (rhs_s = S rhs)
+        dtype = E.dtype
+
         def ghat_body(i, _):
             has_prev = i > 0
             has_next = i < nelem
@@ -534,9 +915,8 @@ def _beam_opt_kernel(refine, grad_semi, G, alpha_m, alpha_s, clamp_min,
                   - gV_p * ks_scr[jp, 1] - gM_p * ks_scr[jp, 2])
             gt = (gV_n * ks_scr[jn, 2] + gM_n * ks_scr[jn, 3]
                   + gV_p * ks_scr[jp, 2] + gM_p * ks_scr[jp, 4])
-            f_scr[i, 0] = zero
-            f_scr[i, 1] = gy * free_ref[0, i, 1] * s_scr[i, 1]
-            f_scr[i, 2] = gt * free_ref[0, i, 2] * s_scr[i, 2]
+            f_scr[i, 0] = gy * free_ref[0, i, 1] * s_scr[i, 0]
+            f_scr[i, 1] = gt * free_ref[0, i, 2] * s_scr[i, 1]
             return 0
 
         jax.lax.fori_loop(0, n, ghat_body, 0)
@@ -545,8 +925,8 @@ def _beam_opt_kernel(refine, grad_semi, G, alpha_m, alpha_s, clamp_min,
         # instead BEFORE the adjoint refinement clobbers y_scr (= u)
         def stash_body(j, _):
             Le = Le_ref[0, j]
-            uy_i, th_i = u_at(j, 1), u_at(j, 2)
-            uy_j, th_j = u_at(j + 1, 1), u_at(j + 1, 2)
+            uy_i, th_i = u_at(j, 0), u_at(j, 1)
+            uy_j, th_j = u_at(j + 1, 0), u_at(j + 1, 1)
             c1 = E / (Le * Le * Le)
             gv_scr[j] = c1 * (12.0 * (uy_i - uy_j)
                               + 6.0 * Le * (th_i + th_j))       # r_uyi
@@ -561,21 +941,21 @@ def _beam_opt_kernel(refine, grad_semi, G, alpha_m, alpha_s, clamp_min,
         # lam_s solved in place in r_scr (f_scr keeps the rhs for the
         # refinement residual; y_scr becomes the work vector)
         def cp2(i, _):
-            for a in range(3):
-                r_scr[i, a] = f_scr[i, a]
+            r_scr[i, 0] = f_scr[i, 0]
+            r_scr[i, 1] = f_scr[i, 1]
             return 0
 
         jax.lax.fori_loop(0, n, cp2, 0)
-        _substitute_inplace(n, upper_scr, sinv_scr, r_scr)
-        _stage_refine(n, refine, diag_scr, upper_scr, sinv_scr, f_scr,
-                      r_scr, y_scr)
+        _subst_b2(n, upper_scr, sinv_scr, r_scr)
+        _refine_b2(n, refine, diag_scr, upper_scr, sinv_scr, f_scr,
+                   r_scr, y_scr)
 
         # ---- banded products: gI += -lam^T (dK/dI_e) u ------------------
         def adj_body(j, _):
-            ly_i = r_scr[j, 1] * s_scr[j, 1]
-            lt_i = r_scr[j, 2] * s_scr[j, 2]
-            ly_j = r_scr[j + 1, 1] * s_scr[j + 1, 1]
-            lt_j = r_scr[j + 1, 2] * s_scr[j + 1, 2]
+            ly_i = r_scr[j, 0] * s_scr[j, 0]
+            lt_i = r_scr[j, 1] * s_scr[j, 1]
+            ly_j = r_scr[j + 1, 0] * s_scr[j + 1, 0]
+            lt_j = r_scr[j + 1, 1] * s_scr[j + 1, 1]
             g_scr[j] = g_scr[j] - (
                 (ly_i - ly_j) * gv_scr[j] + lt_i * gm_scr[j]
                 + lt_j * rthj_scr[j]
@@ -663,16 +1043,40 @@ def _pad_lane_fixup(I_s, Le_s, free_s, B0, T, sub=SUB):
     return I_s, Le_s, free_s
 
 
+# Slab floats/node for the bending-only kernels (scratch + I/O staging,
+# same accounting as the 3-DOF kernels' 61/66): analysis = 27 scratch
+# (ks 5, diag 3, upper 4, f 2, s 2, sinv 3, c 4, y 2, ax 2) + ~11 I/O;
+# opt-step = 24 scratch + ~18 I/O (+3 adjoint rows when grad_semi=False).
+_FLOATS_ANALYSIS_B2 = 38
+_FLOATS_OPT_B2 = 42
+
+
+def _pick_sub_b2(n_nodes: int, floats_per_node: int):
+    """Slab depth for the bending-only kernels: their smaller working set
+    admits FULL-DEPTH (8, 128) slabs at reference sizes — a shallow slab
+    op costs a whole (8, 128) vreg op regardless of depth, so depth 8
+    doubles VPU utilization over the 3-DOF kernels' SUB=4 — falling back
+    to ``pick_sub``'s 4/2/1 ladder past the VMEM budget."""
+    if floats_per_node * n_nodes * 8 * LANES * 4 <= _VMEM_BUDGET:
+        return 8
+    return pick_sub(n_nodes, floats_per_node)
+
+
 def _run_kernel(I, Le, free_mask, E, A, refine, interpret,
                 point_loads=None, udl=None, rhs=None,
                 recover_forces=True):
-    """Shared pallas_call launcher for the forward analysis and the
-    explicit-RHS (adjoint) solve."""
+    """Shared pallas_call launcher for the forward analysis (bending-only
+    2x2 kernel) and the explicit-RHS (adjoint) solve (3-DOF kernel: an
+    arbitrary RHS may load the axial chain, which the bending-only layout
+    drops because the scenario schema cannot express axial loads)."""
     explicit_rhs = rhs is not None
     B, nelem = I.shape
     n = nelem + 1
     dtype = I.dtype
-    sub = pick_sub(n, 61)   # ~61 slab floats per node live in VMEM
+    if explicit_rhs:
+        sub = pick_sub(n, 61)   # ~61 slab floats per node live in VMEM
+    else:
+        sub = _pick_sub_b2(n, _FLOATS_ANALYSIS_B2)
     if sub is None:
         raise ValueError(
             f"mesh of {n} nodes exceeds the fused kernel even at sub=1; "
@@ -715,11 +1119,8 @@ def _run_kernel(I, Le, free_mask, E, A, refine, interpret,
     out_specs += [_spec(1, sub, LANES)]                         # pivot
     out_shape += [jax.ShapeDtypeStruct((T, 1, sub, LANES), dtype)]
 
-    grid_spec = pl.GridSpec(
-        grid=(T,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        scratch_shapes=[
+    if explicit_rhs:
+        scratch_shapes = [
             pltpu.VMEM((nelem, 5, sub, LANES), dtype),   # ks
             pltpu.VMEM((n, 3, 3, sub, LANES), dtype),    # diag
             pltpu.VMEM((n, 3, 3, sub, LANES), dtype),    # upper
@@ -728,12 +1129,32 @@ def _run_kernel(I, Le, free_mask, E, A, refine, interpret,
             pltpu.VMEM((n, 3, 3, sub, LANES), dtype),    # sinv
             pltpu.VMEM((n, 3, 3, sub, LANES), dtype),    # c
             pltpu.VMEM((n, 3, sub, LANES), dtype),       # y
-        ],
+        ]
+        kernel = functools.partial(_beam_kernel, refine, explicit_rhs,
+                                   recover_forces)
+    else:
+        scratch_shapes = [
+            pltpu.VMEM((nelem, 5, sub, LANES), dtype),   # ks
+            pltpu.VMEM((n, 3, sub, LANES), dtype),       # diag (sym 2x2)
+            pltpu.VMEM((n, 2, 2, sub, LANES), dtype),    # upper
+            pltpu.VMEM((n, 2, sub, LANES), dtype),       # f
+            pltpu.VMEM((n, 2, sub, LANES), dtype),       # s
+            pltpu.VMEM((n, 3, sub, LANES), dtype),       # sinv (sym)
+            pltpu.VMEM((n, 2, 2, sub, LANES), dtype),    # c
+            pltpu.VMEM((n, 2, sub, LANES), dtype),       # y
+            pltpu.VMEM((n, 2, sub, LANES), dtype),       # axial d00/u00
+        ]
+        kernel = functools.partial(_beam_kernel_b2, refine, recover_forces)
+
+    grid_spec = pl.GridSpec(
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
     )
     with _kernel_trace_scope(dtype):
         outs = pl.pallas_call(
-            functools.partial(_beam_kernel, refine, explicit_rhs,
-                              recover_forces),
+            kernel,
             out_shape=out_shape,
             grid_spec=grid_spec,
             interpret=interpret,
@@ -915,7 +1336,7 @@ def pallas_beam_opt_step(I, mu, nu, Le, free_mask, point_loads, udl,
     B, nelem = I.shape
     n = nelem + 1
     dtype = I.dtype
-    sub = pick_sub(n, 66)   # ~66 slab floats per node live in VMEM
+    sub = _pick_sub_b2(n, _FLOATS_OPT_B2 + (0 if grad_semi else 3))
     if sub is None:
         raise ValueError(
             f"mesh of {n} nodes exceeds the fused opt-step kernel even at "
@@ -963,13 +1384,13 @@ def pallas_beam_opt_step(I, mu, nu, Le, free_mask, point_loads, udl,
         ],
         scratch_shapes=[
             pltpu.VMEM((nelem, 5, sub, LANES), dtype),   # ks
-            pltpu.VMEM((n, 3, 3, sub, LANES), dtype),    # diag
-            pltpu.VMEM((n, 3, 3, sub, LANES), dtype),    # upper
-            pltpu.VMEM((n, 3, sub, LANES), dtype),       # f
-            pltpu.VMEM((n, 3, sub, LANES), dtype),       # s
-            pltpu.VMEM((n, 3, 3, sub, LANES), dtype),    # sinv
-            pltpu.VMEM((n, 3, sub, LANES), dtype),       # y (u, scaled)
-            pltpu.VMEM((n, 3, sub, LANES), dtype),       # r (work / lam)
+            pltpu.VMEM((n, 3, sub, LANES), dtype),       # diag (sym 2x2)
+            pltpu.VMEM((n, 2, 2, sub, LANES), dtype),    # upper
+            pltpu.VMEM((n, 2, sub, LANES), dtype),       # f
+            pltpu.VMEM((n, 2, sub, LANES), dtype),       # s
+            pltpu.VMEM((n, 3, sub, LANES), dtype),       # sinv (sym)
+            pltpu.VMEM((n, 2, sub, LANES), dtype),       # y (u, scaled)
+            pltpu.VMEM((n, 2, sub, LANES), dtype),       # r (work / lam)
             pltpu.VMEM((nelem, sub, LANES), dtype),      # g
         ] + ([] if grad_semi else [
             pltpu.VMEM((nelem, sub, LANES), dtype),      # gV / r_uyi
@@ -979,7 +1400,7 @@ def pallas_beam_opt_step(I, mu, nu, Le, free_mask, point_loads, udl,
     )
     with _kernel_trace_scope(dtype):
         I_o, mu_o, nu_o, stats_s = pl.pallas_call(
-            functools.partial(_beam_opt_kernel, refine, grad_semi, G,
+            functools.partial(_beam_opt_kernel_b2, refine, grad_semi, G,
                               alpha_m, alpha_s, clamp_min),
             out_shape=[
                 jax.ShapeDtypeStruct((T, nelem, sub, LANES), dtype),

@@ -38,8 +38,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from openpystruct_tpu.ops.block_tridiag import LANES, pick_sub
+from openpystruct_tpu.ops.block_tridiag import LANES, pick_sub, _inv2_sym
 from openpystruct_tpu.ops.beam_kernel import (
+    _axial_pivot_step,
     _kernel_trace_scope,
     _pad_lane_fixup,
     _spec,
@@ -222,25 +223,6 @@ def _stage_scale_b2(n, diag, upper, fy, s):
         return 0
 
     jax.lax.fori_loop(0, n - 1, body_u, 0)
-
-
-def _inv2_sym(m0, m1, m2):
-    """Inverse + det of a symmetric 2x2 [[m0, m1], [m1, m2]] in dd."""
-    det = m0 * m2 - m1 * m1
-    inv_det = 1.0 / det
-    return m2 * inv_det, -(m1 * inv_det), m0 * inv_det, det
-
-
-def _axial_pivot_step(ax_ref, i, a_prev):
-    """One f32 step of the axial scalar Schur chain (Jacobi-scaled):
-    a_i = d00s_i - u00s_{i-1}^2 / a_{i-1}."""
-    d_prev = ax_ref[i - 1, 0]
-    d_cur = ax_ref[i, 0]
-    r_prev = jax.lax.rsqrt(d_prev)
-    r_cur = jax.lax.rsqrt(d_cur)
-    u00s = ax_ref[i - 1, 1] * r_prev * r_cur
-    d00s = d_cur * r_cur * r_cur
-    return d00s - u00s * u00s / a_prev
 
 
 def _stage_factor_b2(n, diag, upper, fy, ax_ref):

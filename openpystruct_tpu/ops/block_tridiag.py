@@ -83,6 +83,18 @@ def _inv3_slabs(m):
     return _inv3_det(m)[0]
 
 
+def _inv2_sym(m0, m1, m2):
+    """Inverse + det of a symmetric 2x2 [[m0, m1], [m1, m2]].
+
+    Precision-polymorphic like ``_inv3_det`` (plain slabs or DD values);
+    this is the pivot block of the bending-only beam factorization shared
+    by the f32 (ops/beam_kernel.py) and dd (ops/beam_kernel_dd.py)
+    fused kernels."""
+    det = m0 * m2 - m1 * m1
+    inv_det = 1.0 / det
+    return m2 * inv_det, -(m1 * inv_det), m0 * inv_det, det
+
+
 def _mm(m1, m2):
     return [
         [sum(m1[a][k] * m2[k][b] for k in range(3)) for b in range(3)]

@@ -251,11 +251,15 @@ def optimize_beam_batched(
 
 def _fits_fused(n_nodes: int) -> bool:
     """Whether the fused opt-step kernel's VMEM working set fits at this
-    mesh size (at some slab depth); past it the split path takes over and
-    past ~700 nodes the Pallas solve itself yields to the scan path."""
-    from openpystruct_tpu.ops.block_tridiag import pick_sub
+    mesh size (at some slab depth); past it the split path takes over.
+    The bending-only (2x2) kernel layout roughly doubles the resident
+    range over the round-3 3-DOF layout (42 vs 66 slab floats/node)."""
+    from openpystruct_tpu.ops.beam_kernel import (
+        _FLOATS_OPT_B2,
+        _pick_sub_b2,
+    )
 
-    return pick_sub(n_nodes, 66) is not None
+    return _pick_sub_b2(n_nodes, _FLOATS_OPT_B2 + 3) is not None
 
 
 def _make_kernel_step(scenario, beam, opt, refine, use_pallas, fused,

