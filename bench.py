@@ -105,20 +105,39 @@ def device_rate(sc, I, batch=8192, reps=10, refine=1):
 
         Le = jnp.diff(sc_b.node_x, axis=-1)
         free = (~jax.vmap(constraint_mask)(sc_b)).astype(jnp.float32)
-        fn = jax.jit(
-            lambda Ib: pallas_beam_analysis(
-                Ib, Le, free, sc_b.point_loads, sc_b.udl, E, A,
-                refine=refine,
-            )[0]
-        )  # [0] = displacements; outputs also include V, M, pivot
+
+        # CHAIN the solves inside one jitted program (like the datagen hot
+        # loop, which is how production consumes this kernel): a per-call
+        # timing loop through the remote tunnel pays ~0.5-1 ms dispatch
+        # RTT per call, which at round-4 kernel speed under-reports the
+        # device rate >2x.  The M*1e-12 feedback creates a data dependency
+        # so XLA cannot hoist/elide iterations; the value drift (~1e-7 on
+        # I ~ 0.5 over the chain) is irrelevant to timing.
+        chain = 100
+
+        @jax.jit
+        def fn(Ib):
+            def body(k, carry):
+                I_c, acc = carry
+                _, _, M, piv = pallas_beam_analysis(
+                    I_c, Le, free, sc_b.point_loads, sc_b.udl, E, A,
+                    refine=refine,
+                )
+                return (I_c + M * 1e-12, acc + piv)
+
+            return jax.lax.fori_loop(
+                0, chain, body, (Ib, jnp.zeros(Ib.shape[0], jnp.float32))
+            )
     else:
+        chain = 1
         fn = jax.jit(
             lambda Ib: solve_beam_batched(
                 Ib, sc_b, E, A, refine=refine, use_pallas=False
             ).deflections
         )
+    reps = max(1, reps // 10) if chain > 1 else reps
     out = fn(Ib)
-    out.block_until_ready()
+    float(jax.tree.leaves(out)[0].sum())   # force completion (tunnel gotcha)
     # Remote-device links add ~10% run-to-run jitter (and occasionally a
     # 10x congestion episode that lasts the whole process — the r03
     # capture read 7.4x low); take the best of several timing rounds and
@@ -129,8 +148,8 @@ def device_rate(sc, I, batch=8192, reps=10, refine=1):
         t0 = time.perf_counter()
         for _ in range(reps):
             out = fn(Ib)
-        out.block_until_ready()
-        dt = (time.perf_counter() - t0) / reps
+        float(jax.tree.leaves(out)[0].sum())
+        dt = (time.perf_counter() - t0) / (reps * chain)
         rates.append(batch / dt)
     rates.sort()
     best, median = rates[-1], rates[len(rates) // 2]
