@@ -34,10 +34,10 @@ def _fit_scaler(flat2d):
 @functools.partial(
     jax.jit,
     static_argnames=("n_valid", "n_cases", "tr_sz", "total", "c",
-                     "nheads_pad", "widths"),
+                     "nheads_pad", "widths", "label_keys"),
 )
 def _prepare(arrays, key, *, n_valid, n_cases, tr_sz, total, c, nheads_pad,
-             widths):
+             widths, label_keys=("I",)):
     # Concatenate features FIRST: four narrow arrays (last dims 4-5) pad to
     # 128 lanes each under TPU tiling, so per-feature gathers move ~25x more
     # HBM than the data; one wide (B, ~114) array keeps padding marginal.
@@ -52,7 +52,7 @@ def _prepare(arrays, key, *, n_valid, n_cases, tr_sz, total, c, nheads_pad,
         return x[order][:trim].reshape(total, n_cases, -1)
 
     X3 = group(X_all)
-    I3 = group(arrays["I"])
+    labels3 = [group(arrays[k]) for k in label_keys]
 
     perm = jax.random.permutation(key, total)
     tr, va = perm[:tr_sz], perm[tr_sz:]
@@ -78,8 +78,16 @@ def _prepare(arrays, key, *, n_valid, n_cases, tr_sz, total, c, nheads_pad,
             X_tr = jnp.pad(X_tr, ((0, 0), (0, 0), (0, pad)))
             X_va = jnp.pad(X_va, ((0, 0), (0, 0), (0, pad)))
 
-    Y_tr_raw = I3[tr].mean(axis=1) + c * I3[tr].std(axis=1)
-    Y_va_raw = I3[va].mean(axis=1) + c * I3[va].std(axis=1)
+    # per-key mean + c*std over the case axis, concatenated — the host
+    # pipeline's unify_label + concat for extra_label_keys (pipeline.py:238)
+    Y_tr_raw = jnp.concatenate(
+        [l3[tr].mean(axis=1) + c * l3[tr].std(axis=1) for l3 in labels3],
+        axis=1,
+    )
+    Y_va_raw = jnp.concatenate(
+        [l3[va].mean(axis=1) + c * l3[va].std(axis=1) for l3 in labels3],
+        axis=1,
+    )
     y_mean, y_scale = _fit_scaler(Y_tr_raw)
     return dict(
         X_tr=X_tr, X_va=X_va,
@@ -97,14 +105,18 @@ def prepare_dataset_device(
     c: float = 1.0,
     seed: int = 0,
     nheads_pad: Optional[int] = None,
+    extra_label_keys: tuple = (),
 ) -> DatasetSplits:
     """Device-side ``prepare_dataset``.
 
     ``arrays``: dict with roller_x, force_x, force_values, node_positions,
     I, valid — all (B, ...) jnp arrays.  Invalid samples are dropped before
-    grouping (like the reference's None-filter).  Returns a DatasetSplits
-    whose arrays are jnp (device) arrays; the scalers hold device buffers
-    usable by the host Scaler API.
+    grouping (like the reference's None-filter).  ``extra_label_keys``
+    appends additional aggregated targets after I (the PINN's 302-dim
+    deflections+rotations label, OpenPyStruct_PINN_MultiCase.py:35-56) —
+    pass ``batch_feature_arrays(..., include_solution=True)`` output.
+    Returns a DatasetSplits whose arrays are jnp (device) arrays; the
+    scalers hold device buffers usable by the host Scaler API.
     """
     n_valid = int(arrays["valid"].sum())  # the one host sync
     total = n_valid // n_cases
@@ -112,12 +124,14 @@ def prepare_dataset_device(
         raise ValueError(f"n_cases={n_cases} > total samples={n_valid}.")
     tr_sz = int(train_split * total)
 
+    label_keys = ("I",) + tuple(extra_label_keys)
     widths = tuple(int(arrays[k].shape[-1]) for k in _FEATS)
     out = _prepare(
-        {k: arrays[k] for k in _FEATS + ("I", "valid")},
+        {k: arrays[k] for k in _FEATS + label_keys + ("valid",)},
         jax.random.PRNGKey(seed),  # dynamic: new seeds must not recompile
         n_valid=n_valid, n_cases=n_cases, tr_sz=tr_sz, total=total,
         c=float(c), nheads_pad=nheads_pad or 0, widths=widths,
+        label_keys=label_keys,
     )
 
     scalers = {

@@ -44,10 +44,13 @@ def extract_padded(values, mask, size: int, order=None):
     return jnp.where(present, padded[idx], 0.0)
 
 
-def batch_feature_arrays(batch, max_rollers: int = 5, max_forces: int = 4):
+def batch_feature_arrays(batch, max_rollers: int = 5, max_forces: int = 4,
+                         include_solution: bool = False):
     """DatagenBatch -> dict of dense per-sample feature/label arrays
     (device-resident).  Keys: roller_x, force_x, force_values,
-    node_positions, I, valid."""
+    node_positions, I, valid; with ``include_solution`` also deflections
+    and rotations (the PINN's auxiliary supervised targets,
+    OpenPyStruct_PINN_MultiCase.py:35-56)."""
     sc = batch.scenario
     r_order = sc.roller_order
     f_order = sc.force_order
@@ -68,7 +71,7 @@ def batch_feature_arrays(batch, max_rollers: int = 5, max_forces: int = 4):
         roller_x, force_x, force_values = jax.vmap(one)(
             sc.node_x, sc.roller_mask, sc.point_loads, r_order, f_order
         )
-    return dict(
+    out = dict(
         roller_x=roller_x,
         force_x=force_x,
         force_values=force_values,
@@ -76,3 +79,8 @@ def batch_feature_arrays(batch, max_rollers: int = 5, max_forces: int = 4):
         I=batch.result.I,
         valid=batch.valid,
     )
+    if include_solution:
+        sol = batch.result.solution
+        out["deflections"] = sol.deflections
+        out["rotations"] = sol.rotations
+    return out

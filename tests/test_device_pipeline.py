@@ -76,3 +76,38 @@ def test_device_pipeline_drops_invalid():
     ds = prepare_dataset_device(arrays, n_cases=6, train_split=0.7)
     # 18 valid -> 3 groups
     assert ds.X_train.shape[0] + ds.X_val.shape[0] == 3
+
+
+def test_device_pipeline_extra_label_keys():
+    """PINN-style labels: [I | deflections | rotations], each aggregated
+    mean + c*std per case group and jointly standardized — the device
+    mirror of prepare_dataset(extra_label_keys=...) (pipeline.py:204-243)."""
+    batch = generate_batch(jax.random.PRNGKey(3), 24, opt_cfg=FAST_OPT)
+    arrays = batch_feature_arrays(batch, include_solution=True)
+    n = arrays["node_positions"].shape[-1]
+    assert arrays["deflections"].shape == (24, n)
+    assert arrays["rotations"].shape == (24, n)
+
+    c = 0.5
+    ds = prepare_dataset_device(
+        arrays, n_cases=6, train_split=0.75, c=c, seed=0,
+        extra_label_keys=("deflections", "rotations"),
+    )
+    nelem = arrays["I"].shape[-1]
+    n_valid = int(np.asarray(arrays["valid"]).sum())
+    total = n_valid // 6
+    assert ds.label_dim == nelem + 2 * n
+    assert ds.Y_train.shape == (int(0.75 * total), ds.label_dim)
+
+    # the raw label must be the per-key mean + c*std of SOME grouping of
+    # the valid samples; check the deflection slice's global stats against
+    # a direct recomputation over all groups (order-independent)
+    defl = np.asarray(arrays["deflections"])[np.asarray(arrays["valid"])]
+    g = defl[: total * 6].reshape(total, 6, n)
+    expect = g.mean(axis=1) + c * g.std(axis=1)
+    got = np.concatenate(
+        [np.asarray(ds.Y_train_raw), np.asarray(ds.Y_val_raw)]
+    )[:, nelem : nelem + n]
+    np.testing.assert_allclose(
+        np.sort(expect.ravel()), np.sort(got.ravel()), rtol=1e-5, atol=1e-7
+    )
