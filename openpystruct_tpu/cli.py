@@ -107,6 +107,10 @@ def _add_train(sub):
                    help="resume from <checkpoint>_state if it exists")
     p.add_argument("--epochs-per-sync", type=int, default=10)
     p.add_argument("--mesh", action="store_true")
+    p.add_argument("--shuffle-scope", choices=["global", "per_shard"],
+                   default="global",
+                   help="per_shard: zero-communication epoch shuffle "
+                        "(rows never leave their device; multi-host DP)")
     p.add_argument("--plot", type=str, default=None)
     p.add_argument("--watch", type=str, default=None,
                    help="live training plot: PNG path atomically rewritten "
@@ -346,6 +350,7 @@ def cmd_train(args):
     res = fit(
         model, ds.X_train, ds.Y_train, ds.X_val, ds.Y_val, cfg,
         rng=jax.random.PRNGKey(args.seed), mesh=mesh,
+        shuffle_scope=args.shuffle_scope,
         epochs_per_sync=args.epochs_per_sync, verbose=True,
         live_plot=args.watch,
         checkpoint_dir=state_dir, resume_from=resume_from, **fit_kwargs,

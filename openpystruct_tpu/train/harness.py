@@ -56,6 +56,38 @@ class FitResult:
     batch_stats: Any = None        # running stats matching ``params``
 
 
+def _per_shard_epoch_batches(ks, X_tr, Y_tr, steps, batch, mesh, data_axis):
+    """Shuffle an epoch with ZERO cross-device communication: each device
+    permutes its resident rows (key folded with its mesh position) and
+    reshapes them into its slice of every batch.  The global-permutation
+    path gathers ``X[perm]`` across the whole mesh — over DCN on a
+    multi-host mesh — every epoch; here rows never leave their device, at
+    the cost of batches mixing only within shards (``shuffle_scope`` docs
+    on ``fit``).  Keys fold in the mesh position, not the process index,
+    so the realized batches are identical for any process layout of the
+    same mesh."""
+    n_shards = mesh.shape[data_axis]
+    lbatch = batch // n_shards
+
+    def local(ks, X, Y):
+        i = jax.lax.axis_index(data_axis)
+        p = jax.random.permutation(
+            jax.random.fold_in(ks, i), X.shape[0]
+        )[: steps * lbatch]
+        return (
+            X[p].reshape(steps, lbatch, *X.shape[1:]),
+            Y[p].reshape(steps, lbatch, *Y.shape[1:]),
+        )
+
+    P = jax.sharding.PartitionSpec
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(data_axis), P(data_axis)),
+        out_specs=P(None, data_axis),
+        check_vma=False,
+    )(ks, X_tr, Y_tr)
+
+
 def _make_optimizer(cfg: TrainConfig, steps_per_epoch: int, train_alpha: bool,
                     decoupled: bool):
     # lr * gamma^epoch, scheduler stepped once per epoch
@@ -111,6 +143,7 @@ def fit(
     model_rng_keys: Sequence[str] = ("dropout",),
     mesh: Optional[jax.sharding.Mesh] = None,
     data_axis: str = "data",
+    shuffle_scope: str = "global",
     epochs_per_sync: int = 8,
     verbose: bool = False,
     metrics=None,
@@ -131,6 +164,18 @@ def fit(
     with ``loss_fn``.
     param_loss_fn(model_params) -> scalar adds parameter-dependent terms
     (e.g. the Bayesian models' scaled KL).
+
+    ``shuffle_scope``: ``"global"`` (default) permutes the full training
+    set each epoch — exact reference DataLoader semantics
+    (OpenPyStruct_FNN_MultiCase.py:486), but on a multi-host mesh the
+    gather ``X[perm]`` crosses hosts over DCN every epoch.  ``"per_shard"``
+    permutes each device's resident rows independently (``shard_map`` over
+    the data axis, zero communication): batches mix only within shards, so
+    the trajectory differs from the reference's by batch composition —
+    statistically equivalent for i.i.d. rows, and the right trade when DCN
+    bandwidth dominates.  Requires even sharding; up to ``devices-1``
+    trailing rows per process are dropped to guarantee it.  Still
+    bit-identical across ``epochs_per_sync`` values and resume.
 
     ``epochs_per_sync``: epochs executed per device round-trip (shuffling,
     noisy steps, val evaluation, best-checkpoint selection AND the
@@ -182,6 +227,20 @@ def fit(
     multihost = jax.process_count() > 1
     if multihost and mesh is None:
         raise ValueError("multi-host fit() requires a mesh")
+    if shuffle_scope not in ("global", "per_shard"):
+        raise ValueError(f"shuffle_scope must be 'global' or 'per_shard', "
+                         f"got {shuffle_scope!r}")
+    per_shard = (
+        shuffle_scope == "per_shard"
+        and mesh is not None and mesh.shape[data_axis] > 1
+    )
+    if per_shard:
+        # shard_map needs even sharding: trim this process's rows to a
+        # multiple of its local share of the data axis (<= devices-1 rows
+        # dropped per process)
+        local_shards = mesh.shape[data_axis] // jax.process_count()
+        keep = (X_train.shape[0] // local_shards) * local_shards
+        X_train, Y_train = X_train[:keep], Y_train[:keep]
 
     # box-constraint bounds must be identical on every host even though
     # each host only sees its own train rows
@@ -362,11 +421,16 @@ def fit(
             ks, ke, kv = jax.random.split(
                 jax.random.fold_in(rng, epoch), 3
             )
-            perm = jax.random.permutation(ks, X_tr.shape[0])[
-                : steps * batch
-            ]
-            Xe = X_tr[perm].reshape(steps, batch, *X_tr.shape[1:])
-            Ye = Y_tr[perm].reshape(steps, batch, *Y_tr.shape[1:])
+            if per_shard:
+                Xe, Ye = _per_shard_epoch_batches(
+                    ks, X_tr, Y_tr, steps, batch, mesh, data_axis
+                )
+            else:
+                perm = jax.random.permutation(ks, X_tr.shape[0])[
+                    : steps * batch
+                ]
+                Xe = X_tr[perm].reshape(steps, batch, *X_tr.shape[1:])
+                Ye = Y_tr[perm].reshape(steps, batch, *Y_tr.shape[1:])
             st_new, tr_loss = train_epoch(st, Xe, Ye, ke, noise)
             va_loss = val_loss_fn(st_new, kv, Xv, Yv, Xvt, Yvt)
 

@@ -194,3 +194,64 @@ def test_trajectory_independent_of_epochs_per_sync():
             ),
             runs[0].params, other.params,
         )
+
+
+def test_per_shard_epoch_batches_keep_rows_on_device():
+    """per_shard shuffling: every device's slice of every batch comes from
+    that device's resident rows (zero cross-shard movement), each row used
+    at most once per epoch."""
+    from openpystruct_tpu.parallel import default_mesh, make_global_batch
+    from openpystruct_tpu.train.harness import _per_shard_epoch_batches
+
+    mesh = default_mesh(("data",))
+    n_shards = mesh.shape["data"]
+    rows_per_shard, steps, batch = 8, 2, 4 * n_shards
+    n = rows_per_shard * n_shards
+    # row id encoded in the feature value; contiguous sharding puts rows
+    # [i*rps, (i+1)*rps) on shard i
+    X = np.arange(n, dtype=np.float32)[:, None] * np.ones((1, 3), np.float32)
+    Y = np.arange(n, dtype=np.float32)[:, None]
+    Xg = make_global_batch(X, mesh, "data")
+    Yg = make_global_batch(Y, mesh, "data")
+
+    Xe, Ye = jax.jit(
+        lambda k, X, Y: _per_shard_epoch_batches(
+            k, X, Y, steps, batch, mesh, "data"
+        )
+    )(jax.random.PRNGKey(0), Xg, Yg)
+    assert Xe.shape == (steps, batch, 3) and Ye.shape == (steps, batch, 1)
+    ids = np.asarray(Ye)[..., 0]          # (steps, batch) of row ids
+    lbatch = batch // n_shards
+    per_dev = ids.reshape(steps, n_shards, lbatch)
+    for i in range(n_shards):
+        got = per_dev[:, i, :].ravel()
+        lo, hi = i * rows_per_shard, (i + 1) * rows_per_shard
+        assert ((got >= lo) & (got < hi)).all(), (i, got)
+        assert len(np.unique(got)) == got.size  # no row reused in an epoch
+    np.testing.assert_array_equal(np.asarray(Xe)[..., 0], ids)
+
+
+def test_per_shard_shuffle_trains_and_is_sync_invariant():
+    from openpystruct_tpu.parallel import default_mesh
+
+    data = small_dataset(192)
+    ds = prepare_dataset(data, n_cases=6, train_split=0.75, seed=0)
+    cfg = TrainConfig(num_epochs=6, batch_size=8, patience=50, sigma_0=0.0,
+                      dropout_rate=0.0)
+    model = FNNWithResidual(
+        hidden_dim=32, num_blocks=1, output_dim=ds.label_dim,
+        dropout_rate=0.0, dtype=jnp.float32,
+    )
+    mesh = default_mesh(("data",))
+    runs = [
+        fit(model, ds.X_train, ds.Y_train, ds.X_val, ds.Y_val, cfg,
+            rng=jax.random.PRNGKey(7), mesh=mesh, shuffle_scope="per_shard",
+            epochs_per_sync=k)
+        for k in (1, 4)
+    ]
+    assert np.isfinite(runs[0].val_losses).all()
+    assert runs[0].train_losses[-1] < runs[0].train_losses[0]
+    # bit-identical across sync chunking, same as the global path
+    np.testing.assert_array_equal(
+        np.asarray(runs[0].val_losses), np.asarray(runs[1].val_losses)
+    )
