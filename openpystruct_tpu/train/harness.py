@@ -238,7 +238,7 @@ def fit(
         # shard_map needs even sharding: trim this process's rows to a
         # multiple of its local share of the data axis (<= devices-1 rows
         # dropped per process)
-        local_shards = mesh.shape[data_axis] // jax.process_count()
+        local_shards = max(mesh.shape[data_axis] // jax.process_count(), 1)
         keep = (X_train.shape[0] // local_shards) * local_shards
         X_train, Y_train = X_train[:keep], Y_train[:keep]
 
