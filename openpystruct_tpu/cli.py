@@ -71,6 +71,14 @@ def _add_datagen(sub):
     p.add_argument("--max-epochs", type=int, default=None,
                    help="override the per-sample optimization budget "
                         "(reference: 600)")
+    p.add_argument("--grad-mode", choices=["semi", "adjoint"], default=None,
+                   help="per-sample optimizer gradient: 'semi' treats the "
+                        "FE forces as constants each iteration (the "
+                        "reference's fresh-leaf-tensor scheme, "
+                        "OpenPyStruct_BeamOpt.py:150-151); 'adjoint' "
+                        "differentiates through the solve exactly "
+                        "(measured -0.8%% combined objective on matched "
+                        "datasets, BENCHMARKS.md)")
     p.add_argument("--shard-dir", type=str, default=None,
                    help="crash-safe mode: write per-batch .npz shards here "
                         "(a killed run resumes at the first missing shard) "
@@ -100,6 +108,12 @@ def _add_train(sub):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--epochs", type=int, default=None,
                    help="override the family's reference epoch budget")
+    p.add_argument("--compute-dtype", choices=["bfloat16", "float32"],
+                   default=None,
+                   help="model compute precision (the reference's AMP "
+                        "analog); default: the family's reference setting "
+                        "(bfloat16 everywhere but the FNO, which is pinned "
+                        "float32)")
     p.add_argument("--checkpoint", type=str, default=None,
                    help="directory for the best-model orbax checkpoint; the "
                         "full resumable train state goes to <dir>_state")
@@ -280,6 +294,8 @@ def cmd_datagen(args):
     opt_cfg = DATAGEN_OPT
     if args.max_epochs:
         opt_cfg = dataclasses.replace(opt_cfg, max_epochs=args.max_epochs)
+    if args.grad_mode:
+        opt_cfg = dataclasses.replace(opt_cfg, grad_mode=args.grad_mode)
     mesh = None
     if args.mesh:
         from openpystruct_tpu.parallel import default_mesh
@@ -307,6 +323,21 @@ def cmd_datagen(args):
     print("Data generation complete.")
     print(f"Total execution time: {dt:.2f} seconds "
           f"({n / dt:.0f} samples/sec); {n} valid samples -> {args.output}")
+    # Post-run sanity reload: re-open the artifact from DISK (via the native
+    # reader) and report per-key entry counts — the reference's only
+    # output-integrity check
+    # (OpenPyStruct_BeamOpt_training_SingleCore.py:274-283).
+    from openpystruct_tpu.datagen import read_json_dataset
+
+    back = read_json_dataset(args.output)
+    print("Data loaded successfully!")
+    print(f"Number of samples: {len(back['roller_x_locations'])}")
+    print("Keys available in the dataset:")
+    for key in back:
+        print(f"- {key} (Number of entries: {len(back[key])})")
+    if len(back["I_values"]) != n:
+        print(f"WARNING: reload count {len(back['I_values'])} != "
+              f"written count {n}")
 
 
 def cmd_train(args):
@@ -323,6 +354,8 @@ def cmd_train(args):
     cfg = spec.train
     if args.epochs:
         cfg = dataclasses.replace(cfg, num_epochs=args.epochs)
+    if args.compute_dtype:
+        cfg = dataclasses.replace(cfg, compute_dtype=args.compute_dtype)
 
     data = read_json_dataset(args.data)
     ds = prepare_dataset(
@@ -331,7 +364,8 @@ def cmd_train(args):
     )
     nelem = len(data["I_values"][0])
     model, spec, fit_kwargs = build_family(
-        args.model, ds.feat_dim, nelem=nelem, label_dim=ds.label_dim
+        args.model, ds.feat_dim, nelem=nelem, label_dim=ds.label_dim,
+        compute_dtype=args.compute_dtype,
     )
     mesh = None
     if args.mesh:

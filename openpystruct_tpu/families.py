@@ -66,6 +66,11 @@ FAMILIES = {
             batch_size=512, patience=10, learning_rate=3e-3,
             weight_decay=1e-6, sigma_0=0.01, gamma_noise=0.95,
             lr_gamma=0.975, c=0.5, box_constraint_coeff=5e-1,
+            # The reference disables AMP for the FNO — the spectral path is
+            # precision-sensitive (OpenPyStruct_FNO_MultiCase_Beta.py:576-578,
+            # 617-618); every other family autocasts
+            # (OpenPyStruct_FNN_MultiCase.py:490,543-554).
+            compute_dtype="float32",
         ),
         nheads_pad=None, extra_label_keys=(), model_rng_keys=("dropout",),
         decoupled_weight_decay=False,
@@ -123,12 +128,29 @@ BNN_KL_SCALE = 1e-6      # OpenPyStruct_Bayesian_TFDModule_MultiCase_Beta.py:57
 PINN_PENALTY = 1.5e-6    # OpenPyStruct_PINN_MultiCase.py:58
 
 
+#: ``TrainConfig.compute_dtype`` values -> model compute dtypes (the TPU
+#: analog of the reference's CUDA AMP autocast,
+#: OpenPyStruct_FNN_MultiCase.py:490,543-554: matmuls/activations run in the
+#: low-precision dtype, LayerNorms and output heads stay float32 — see the
+#: per-model ``dtype`` fields in ``models/``).
+COMPUTE_DTYPES = {
+    "bfloat16": jnp.bfloat16,
+    "float32": jnp.float32,
+    "float16": jnp.float16,
+}
+
+
 def build_family(name: str, feat_dim: int, nelem: int = 100,
-                 label_dim: Optional[int] = None):
+                 label_dim: Optional[int] = None,
+                 compute_dtype: Optional[str] = None):
     """Instantiate (model, spec, fit_kwargs) for a family.
 
     ``feat_dim`` is the (padded) per-case feature width from the pipeline;
     ``label_dim`` the full label width (PINN: nelem + 2*(nelem+1)).
+    ``compute_dtype`` overrides the family's ``TrainConfig.compute_dtype``
+    (default bfloat16 everywhere but the FNO, which the reference exempts
+    from AMP and stays pinned float32 —
+    OpenPyStruct_FNO_MultiCase_Beta.py:617-618).
     """
     from openpystruct_tpu.models import (
         BayesianTransformerDiffusionModel,
@@ -143,6 +165,14 @@ def build_family(name: str, feat_dim: int, nelem: int = 100,
 
     spec = FAMILIES[name]
     cfg = spec.train
+    if compute_dtype is not None:
+        cfg = dataclasses.replace(cfg, compute_dtype=compute_dtype)
+        spec = dataclasses.replace(spec, train=cfg)
+    if name == "fno" and cfg.compute_dtype != "float32":
+        # precision-sensitive spectral path: the reference's AMP exception
+        # (OpenPyStruct_FNO_MultiCase_Beta.py:576-578,617-618)
+        raise ValueError("the FNO family is pinned float32")
+    dtype = COMPUTE_DTYPES[cfg.compute_dtype]
     label_dim = label_dim or nelem
     fit_kwargs = dict(
         model_rng_keys=spec.model_rng_keys,
@@ -152,12 +182,12 @@ def build_family(name: str, feat_dim: int, nelem: int = 100,
     if name == "fnn":
         model = FNNWithResidual(
             hidden_dim=cfg.hidden_units, num_blocks=4, output_dim=label_dim,
-            dropout_rate=cfg.dropout_rate,
+            dropout_rate=cfg.dropout_rate, dtype=dtype,
         )
     elif name == "pinn":
         model = PINNWithResidual(
             hidden_dim=cfg.hidden_units, num_blocks=2, output_dim=label_dim,
-            dropout_rate=cfg.dropout_rate,
+            dropout_rate=cfg.dropout_rate, dtype=dtype,
         )
 
         def pinn_loss_builder(Y_train):
@@ -189,7 +219,7 @@ def build_family(name: str, feat_dim: int, nelem: int = 100,
     elif name == "gnn":
         model = ChainGNN(
             n_elem=label_dim, encoder_hidden_dim=128, gnn_hidden_dim=128,
-            num_gnn_layers=2, dropout_rate=cfg.dropout_rate,
+            num_gnn_layers=2, dropout_rate=cfg.dropout_rate, dtype=dtype,
         )
     elif name == "tfd":
         model = TransformerDiffusionModel(
@@ -197,6 +227,7 @@ def build_family(name: str, feat_dim: int, nelem: int = 100,
             hidden_units=cfg.hidden_units, num_transformer_layers=2,
             num_heads=8, dim_feedforward=256,
             dropout_rate=cfg.dropout_rate, diffusion_hidden_dim=256,
+            dtype=dtype,
         )
     elif name in ("bnn", "bnn-meta"):
         model = BayesianTransformerDiffusionModel(
@@ -205,6 +236,7 @@ def build_family(name: str, feat_dim: int, nelem: int = 100,
             num_heads=24, dim_feedforward=512,
             dropout_rate=cfg.dropout_rate, diffusion_hidden_dim=512,
             use_output_scales=(name == "bnn-meta"),
+            dtype=dtype,
         )
         fit_kwargs["param_loss_fn"] = lambda p: BNN_KL_SCALE * bayes_kl(p)
     else:

@@ -14,7 +14,12 @@ TPU-first mechanics: each epoch is ONE jitted program — a ``lax.scan`` over
 batches — so there is no per-batch Python/dispatch overhead; with a mesh the
 batch axis is sharded and XLA inserts the gradient all-reduce over ICI.
 
-Divergence from the reference (intentional): partial trailing TRAIN batches
+Divergence from the reference (intentional): the in-batch ``permute_data``
+re-shuffle (OpenPyStruct_FNN_MultiCase.py:440-461,537-540) is NOT
+replicated — reordering rows *within* a batch is mathematically a no-op for
+every loss here (all are means over rows, invariant to row order; the batch
+composition itself is already randomized by the epoch shuffle).  Partial
+trailing TRAIN batches
 are dropped (static shapes; the reference's DataLoader keeps them) — the
 validation set is evaluated in full, with the ragged remainder as one extra
 batch at its own static shape, so early stopping sees every val sample like
@@ -234,12 +239,29 @@ def fit(
         shuffle_scope == "per_shard"
         and mesh is not None and mesh.shape[data_axis] > 1
     )
+    if shuffle_scope == "per_shard" and not per_shard:
+        # don't silently ignore the zero-communication intent (ADVICE r4)
+        import warnings
+
+        warnings.warn(
+            "shuffle_scope='per_shard' has no effect without a mesh whose "
+            f"'{data_axis}' axis has >1 shard; using the global shuffle",
+            stacklevel=2,
+        )
     if per_shard:
-        # shard_map needs even sharding: trim this process's rows to a
-        # multiple of its local share of the data axis (<= devices-1 rows
-        # dropped per process)
+        # shard_map needs even GLOBAL sharding: every process trims its rows
+        # to the same count — the minimum across processes, rounded down to
+        # a multiple of its local share of the data axis.  Trimming each
+        # process independently (round 4) broke at trace time whenever
+        # processes passed unequal row counts, which the local-shards data
+        # contract allows (ADVICE r4).
         local_shards = max(mesh.shape[data_axis] // jax.process_count(), 1)
-        keep = (X_train.shape[0] // local_shards) * local_shards
+        rows = X_train.shape[0]
+        if multihost:
+            from openpystruct_tpu.parallel import all_processes_min_max
+
+            rows = int(all_processes_min_max(np.asarray([rows]))[0])
+        keep = (rows // local_shards) * local_shards
         X_train, Y_train = X_train[:keep], Y_train[:keep]
 
     # box-constraint bounds must be identical on every host even though

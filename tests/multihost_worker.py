@@ -77,6 +77,19 @@ def main():
         np.asarray(Xv), np.asarray(Yv), cfg, mesh=mesh,
     )
 
+    # ---- per_shard shuffle with UNEQUAL per-process rows (ADVICE r4) --
+    # the local-shards data contract allows ragged per-host row counts;
+    # every process must trim to the common minimum or shard_map fails at
+    # trace time.  p0 gets 130 rows, p1 gets 126.
+    split = rows // nprocs + 2
+    lo2, hi2 = (0, split) if pid == 0 else (split, rows)
+    res_ps = fit(
+        model, np.asarray(X[lo2:hi2]), np.asarray(Y[lo2:hi2]),
+        np.asarray(Xv), np.asarray(Yv), cfg, mesh=mesh,
+        shuffle_scope="per_shard",
+    )
+    assert np.isfinite(res_ps.train_losses).all()
+
     # ---- mesh-sharded datagen across both processes -------------------
     from openpystruct_tpu.config import OptimizerConfig, ScenarioConfig
     from openpystruct_tpu.datagen import generate_batch
@@ -119,6 +132,8 @@ def main():
         f"{out_dir}/p{pid}.npz",
         train_losses=res.train_losses,
         val_losses=res.val_losses,
+        ps_train_losses=res_ps.train_losses,
+        ps_val_losses=res_ps.val_losses,
         param0=np.asarray(leaves[0]),
         datagen_I=I_full,
         datagen_valid=valid_full,

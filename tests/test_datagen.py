@@ -173,6 +173,33 @@ def test_random_bridge_dd_rescue():
     assert np.abs(np.where(rollers, d_dd, 0.0)).max() == 0.0
 
 
+def test_random_bridge_adjoint_rescue():
+    """Adjoint-mode datagen + random_bridge: the default/explicit dd rescue
+    must auto-route to the host-f64 rescue (the dd kernels are
+    semi-gradient only) instead of raising NotImplementedError from deep
+    inside the kernel dispatch (VERDICT r4 weak #2), and keep ~100% of
+    lanes like the semi-mode rescue does."""
+    import dataclasses
+
+    cfg = ScenarioConfig(random_bridge=True)
+    opt = dataclasses.replace(FAST_OPT, max_epochs=60, grad_mode="adjoint")
+    kw = dict(scen_cfg=cfg, opt_cfg=opt, refine=0, use_pallas=False)
+    b0 = generate_batch(jax.random.PRNGKey(11), 64, rescue=False, **kw)
+    # explicit "dd" is the worst case: it used to reach the dd kernel
+    b1 = generate_batch(jax.random.PRNGKey(11), 64, rescue="dd", **kw)
+    v0, v1 = np.asarray(b0.valid), np.asarray(b1.valid)
+    assert v0.sum() < 64, "seed produced no f32 drops; test is vacuous"
+    assert v1.mean() > 0.99
+    resc = v1 & ~v0
+    assert resc.any()
+    I = np.asarray(b1.result.I)[resc]
+    assert np.isfinite(I).all() and (I >= 1e-8).all()
+    # rescued lanes really ran the adjoint: rollers pinned (valid physics)
+    defl = np.asarray(b1.result.solution.deflections)[resc]
+    rollers = np.asarray(b1.scenario.roller_mask)[resc]
+    assert np.abs(np.where(rollers, defl, 0.0)).max() == 0.0
+
+
 def test_generate_batch_sharded_matches_unsharded():
     mesh = default_mesh(("data",))
     assert mesh.devices.size == 8

@@ -35,6 +35,46 @@ def test_family_builds_and_fits(name):
     assert len(res.train_losses) == 2
 
 
+@pytest.mark.parametrize("name", sorted(FAMILIES))
+def test_compute_dtype_threaded(name):
+    """C19 AMP analog: every family computes in its config compute_dtype —
+    bfloat16 by default, FNO pinned float32 (the reference's AMP exception,
+    OpenPyStruct_FNO_MultiCase_Beta.py:617-618) — and the override reaches
+    the model."""
+    import jax.numpy as jnp
+
+    spec = FAMILIES[name]
+    expected = "float32" if name == "fno" else "bfloat16"
+    assert spec.train.compute_dtype == expected
+
+    model, _, _ = build_family(name, feat_dim=24, nelem=10, label_dim=10)
+    if hasattr(model, "dtype"):  # FNO1dModel hard-pins f32 internally
+        assert model.dtype == (jnp.float32 if name == "fno"
+                               else jnp.bfloat16)
+
+    m32, s32, _ = build_family(name, feat_dim=24, nelem=10, label_dim=10,
+                               compute_dtype="float32")
+    assert s32.train.compute_dtype == "float32"
+    if hasattr(m32, "dtype"):
+        assert m32.dtype == jnp.float32
+
+    # forward output stays float32 regardless of compute dtype (the loss
+    # runs full-precision, like GradScaler-managed AMP)
+    X = jnp.zeros((2, spec.train.n_cases, 24), jnp.float32)
+    rngs = {k: jax.random.PRNGKey(i)
+            for i, k in enumerate(("params",) + spec.model_rng_keys)}
+    variables = model.init(rngs, X, train=False)
+    out = model.apply(variables, X, train=False,
+                      rngs={k: rngs[k] for k in spec.model_rng_keys})
+    assert out.dtype == jnp.float32
+
+
+def test_fno_rejects_low_precision():
+    with pytest.raises(ValueError, match="pinned float32"):
+        build_family("fno", feat_dim=24, nelem=10,
+                     compute_dtype="bfloat16")
+
+
 def test_reference_hyperparameters_pinned():
     """Spot-check hyperparameters against the reference constants blocks."""
     assert FAMILIES["fnn"].train.learning_rate == 2e-4

@@ -76,6 +76,12 @@ def test_two_process_cluster(tmp_path):
     # both processes computed the identical (replicated) results
     np.testing.assert_array_equal(r0["train_losses"], r1["train_losses"])
     np.testing.assert_array_equal(r0["val_losses"], r1["val_losses"])
+    # per_shard shuffle on UNEQUAL per-process row counts (130 vs 126;
+    # ADVICE r4): trims to the common minimum, trains, replicates
+    np.testing.assert_array_equal(r0["ps_train_losses"],
+                                  r1["ps_train_losses"])
+    np.testing.assert_array_equal(r0["ps_val_losses"], r1["ps_val_losses"])
+    assert np.isfinite(r0["ps_train_losses"]).all()
     np.testing.assert_array_equal(r0["param0"], r1["param0"])
     np.testing.assert_array_equal(r0["datagen_I"], r1["datagen_I"])
     np.testing.assert_array_equal(r0["datagen_valid"], r1["datagen_valid"])

@@ -231,6 +231,25 @@ def test_per_shard_epoch_batches_keep_rows_on_device():
     np.testing.assert_array_equal(np.asarray(Xe)[..., 0], ids)
 
 
+def test_per_shard_without_mesh_warns():
+    """ADVICE r4: requesting the zero-communication shuffle where it cannot
+    take effect (no mesh / single shard) must warn, not silently run the
+    global shuffle."""
+    import pytest
+
+    data = small_dataset(48)
+    ds = prepare_dataset(data, n_cases=6, train_split=0.75, seed=0)
+    cfg = TrainConfig(num_epochs=1, batch_size=8, patience=50, sigma_0=0.0,
+                      dropout_rate=0.0)
+    model = FNNWithResidual(
+        hidden_dim=16, num_blocks=1, output_dim=ds.label_dim,
+        dropout_rate=0.0, dtype=jnp.float32,
+    )
+    with pytest.warns(UserWarning, match="per_shard"):
+        fit(model, ds.X_train, ds.Y_train, ds.X_val, ds.Y_val, cfg,
+            rng=jax.random.PRNGKey(0), shuffle_scope="per_shard")
+
+
 def test_per_shard_shuffle_trains_and_is_sync_invariant():
     from openpystruct_tpu.parallel import default_mesh
 
