@@ -21,6 +21,20 @@ dsmyl6/OpenPyStruct (reference mounted read-only at /root/reference):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("OPENPYSTRUCT_PLATFORM"):
+    # Honest platform override.  On hosts where a PJRT plugin's boot hook
+    # (e.g. the axon tunnel's sitecustomize) hard-sets
+    # ``jax.config.jax_platforms`` at interpreter start, the standard
+    # ``JAX_PLATFORMS`` env var is silently ignored — subprocesses that
+    # believe they run on CPU actually dispatch through the remote TPU
+    # tunnel (high-variance cold compiles, measured 44-475 s).  Re-applying
+    # the config here wins because it runs before any backend initializes.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["OPENPYSTRUCT_PLATFORM"])
+
 from openpystruct_tpu import config as config
 
 __all__ = ["config", "__version__"]

@@ -65,6 +65,12 @@ def _add_datagen(sub):
     p.add_argument("--output", type=str, default="training_data_PINN_mini.json")
     p.add_argument("--random-bridge", action="store_true",
                    help="randomize length and roller layout (flag=1)")
+    p.add_argument("--num-nodes", type=int, default=None,
+                   help="mesh nodes per beam (reference: 101).  The whole "
+                        "pipeline — kernels, datagen, train, predict — "
+                        "treats mesh size as a free axis; predict reads "
+                        "the trained mesh back from the preprocessing "
+                        "metadata")
     p.add_argument("--mesh", action="store_true",
                    help="shard over all local devices")
     p.add_argument("--refine", type=int, default=1)
@@ -130,6 +136,19 @@ def _add_train(sub):
                    help="live training plot: PNG path atomically rewritten "
                         "each sync chunk (the reference's plt.ion live_plot "
                         "for headless hosts)")
+    p.add_argument("--metrics-jsonl", type=str, default=None,
+                   help="append one JSON line per epoch (train_loss, "
+                        "val_loss, step, time) to this file — the "
+                        "structured upgrade of the reference's print() "
+                        "logging (utils.MetricsLogger)")
+    p.add_argument("--tensorboard", type=str, default=None,
+                   help="write per-epoch scalars as TensorBoard event "
+                        "files into this directory (first-party "
+                        "zero-dependency event writer)")
+    p.add_argument("--profile", type=str, default=None,
+                   help="capture a jax.profiler device+host trace of the "
+                        "training run into this directory (view with "
+                        "TensorBoard's profile plugin / xprof)")
 
 
 def cmd_beam_opt(args):
@@ -291,6 +310,8 @@ def cmd_datagen(args):
     )
 
     scen = ScenarioConfig(random_bridge=args.random_bridge)
+    if args.num_nodes:
+        scen = dataclasses.replace(scen, num_nodes=args.num_nodes)
     opt_cfg = DATAGEN_OPT
     if args.max_epochs:
         opt_cfg = dataclasses.replace(opt_cfg, max_epochs=args.max_epochs)
@@ -380,16 +401,32 @@ def cmd_train(args):
         if os.path.isdir(state_dir):
             resume_from = state_dir
             print(f"resuming from {state_dir}")
+    metrics = None
+    if args.metrics_jsonl or args.tensorboard:
+        from openpystruct_tpu.utils import MetricsLogger
+
+        metrics = MetricsLogger(jsonl=args.metrics_jsonl,
+                                tensorboard_dir=args.tensorboard)
+    profile_ctx = None
+    if args.profile:
+        from openpystruct_tpu.utils import profile_trace
+
+        profile_ctx = profile_trace(args.profile)
     t0 = time.time()
-    res = fit(
-        model, ds.X_train, ds.Y_train, ds.X_val, ds.Y_val, cfg,
-        rng=jax.random.PRNGKey(args.seed), mesh=mesh,
-        shuffle_scope=args.shuffle_scope,
-        epochs_per_sync=args.epochs_per_sync, verbose=True,
-        live_plot=args.watch,
-        checkpoint_dir=state_dir, resume_from=resume_from, **fit_kwargs,
-    )
+    import contextlib
+
+    with profile_ctx or contextlib.nullcontext():
+        res = fit(
+            model, ds.X_train, ds.Y_train, ds.X_val, ds.Y_val, cfg,
+            rng=jax.random.PRNGKey(args.seed), mesh=mesh,
+            shuffle_scope=args.shuffle_scope,
+            epochs_per_sync=args.epochs_per_sync, verbose=True,
+            metrics=metrics, live_plot=args.watch,
+            checkpoint_dir=state_dir, resume_from=resume_from, **fit_kwargs,
+        )
     dt = time.time() - t0
+    if metrics is not None:
+        metrics.close()
     # The PINN's headline metric is R^2 on the I slice only
     # (OpenPyStruct_PINN_MultiCase.py:831-852).
     label_slice = slice(0, nelem) if args.model == "pinn" else None
@@ -410,7 +447,8 @@ def cmd_train(args):
         if res.batch_stats is not None:
             tree["batch_stats"] = res.batch_stats
         save_checkpoint(args.checkpoint, tree)
-        save_preprocessing(ds, args.checkpoint + "_preproc.npz")
+        save_preprocessing(ds, args.checkpoint + "_preproc.npz",
+                           nelem=nelem)
         print(f"best checkpoint saved to {args.checkpoint} "
               f"(+ {args.checkpoint}_preproc.npz)")
     if args.plot:
@@ -453,7 +491,11 @@ def cmd_predict(args):
 
     pre = load_preprocessing(args.preproc)
     n_cases = pre["n_cases"]
-    nelem = 100
+    # mesh size travels with the preprocessing metadata (the training
+    # dataset's element count); pre-round-5 files lack it -> the
+    # reference's fixed 100-element mesh (FNN_MultiCase.py:660)
+    nelem = pre["nelem"] or 100
+    print(f"mesh: {nelem} elements (from preprocessing metadata)")
     model, spec, _ = build_family(
         args.model, pre["feat_dim"], nelem=nelem,
         label_dim=pre["label_dim"],
@@ -538,14 +580,21 @@ def cmd_predict(args):
 
 
 def cmd_bench(args):
+    import os
     import runpy
 
     sys.argv = ["bench.py"]
-    import os
-
     bench = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "bench.py")
-    runpy.run_path(bench, run_name="__main__")
+    import contextlib
+
+    ctx = contextlib.nullcontext()
+    if getattr(args, "profile", None):
+        from openpystruct_tpu.utils import profile_trace
+
+        ctx = profile_trace(args.profile)
+    with ctx:
+        runpy.run_path(bench, run_name="__main__")
 
 
 def main(argv=None):
@@ -559,7 +608,10 @@ def main(argv=None):
     _add_datagen(sub)
     _add_train(sub)
     _add_predict(sub)
-    sub.add_parser("bench", help="run the headline benchmark")
+    bench_p = sub.add_parser("bench", help="run the headline benchmark")
+    bench_p.add_argument("--profile", type=str, default=None,
+                         help="capture a jax.profiler trace of the "
+                              "benchmark into this directory")
     args = ap.parse_args(argv)
     {
         "beam-opt": cmd_beam_opt,

@@ -21,8 +21,15 @@ from openpystruct_tpu.data.pipeline import (
 )
 
 
-def save_preprocessing(ds: DatasetSplits, path: str) -> None:
-    """Save the fitted scalers and metadata of a prepared dataset."""
+def save_preprocessing(ds: DatasetSplits, path: str,
+                       nelem: int = None) -> None:
+    """Save the fitted scalers and metadata of a prepared dataset.
+
+    ``nelem``: the element count of the TRAINING dataset's mesh (the
+    label's I-slice width).  Persisting it lets ``predict`` rebuild the
+    model and the user-input node grid at the right mesh size — the mesh
+    is a free axis here, unlike the reference's hard-coded 100 elements
+    (OpenPyStruct_FNN_MultiCase.py:660)."""
     arrays = {}
     for name in FEATURE_NAMES:
         arrays[f"{name}__mean"] = np.asarray(ds.scalers[name].mean)
@@ -35,6 +42,8 @@ def save_preprocessing(ds: DatasetSplits, path: str) -> None:
         feat_dim=ds.feat_dim,
         label_dim=ds.label_dim,
     )
+    if nelem is not None:
+        meta["nelem"] = int(nelem)
     np.savez(path, __meta__=json.dumps(meta), **arrays)
 
 
@@ -57,4 +66,7 @@ def load_preprocessing(path: str) -> Dict:
         n_cases=meta["n_cases"],
         feat_dim=meta["feat_dim"],
         label_dim=meta["label_dim"],
+        # absent in pre-round-5 files: callers fall back to the reference
+        # mesh (100 elements)
+        nelem=meta.get("nelem"),
     )

@@ -432,9 +432,13 @@ def generate_batch(
         compact = per_dev >= 2048
     explicit_dd = rescue == "dd"
     if rescue is None:
-        # only random-bridge produces the ill-conditioned tail the float32
-        # pivot check drops (module docstring); elsewhere skip the host sync
-        rescue = scen_cfg.random_bridge
+        # two regimes produce ill-conditioned lanes the float32 pivot check
+        # drops: random-bridge (the conditioning tail, module docstring) and
+        # fixed-span meshes FINER than the reference's 101 nodes (cond ~ n^4
+        # at fixed L — at n=201 every healthy lane's pivot is already below
+        # tolerance, so without rescue `--num-nodes 201` datagen would keep
+        # nothing).  Elsewhere skip the per-batch host sync.
+        rescue = scen_cfg.random_bridge or scen_cfg.num_nodes > 101
     if rescue is True:
         rescue = _auto_rescue_mode(scen_cfg.num_nodes)
     elif rescue == "dd":

@@ -32,6 +32,11 @@ from openpystruct_tpu.fem.frame import (
     build_frame,
     solve_frame,
 )
+from openpystruct_tpu.fem.frame_banded import (
+    frame_min_pivot,
+    solve_frame_banded,
+    solve_frame_checked,
+)
 from openpystruct_tpu.fem.beam import (
     BeamScenario,
     BeamSolution,
@@ -56,6 +61,9 @@ __all__ = [
     "FrameSolution",
     "build_frame",
     "solve_frame",
+    "frame_min_pivot",
+    "solve_frame_banded",
+    "solve_frame_checked",
     "BeamScenario",
     "BeamSolution",
     "assemble_beam_system",

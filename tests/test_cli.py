@@ -9,6 +9,10 @@ import pytest
 
 ENV = {
     **os.environ,
+    # JAX_PLATFORMS alone is NOT enough on hosts whose PJRT boot hook
+    # (sitecustomize) hard-sets jax.config.jax_platforms — the package
+    # re-applies this override before any backend initializes
+    "OPENPYSTRUCT_PLATFORM": "cpu",
     "JAX_PLATFORMS": "cpu",
     "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
 }
@@ -63,6 +67,43 @@ def test_cli_datagen_train_predict_roundtrip(tmp_path):
     r = run_cli("predict", "--model", "fnn", "--checkpoint", ck,
                 "--preproc", ck + "_preproc.npz")
     assert r.returncode == 0, r.stderr[-2000:]
+    assert "predicted I" in r.stdout
+
+
+@pytest.mark.slow
+def test_cli_mesh_size_roundtrip_and_observability(tmp_path):
+    """datagen -> train -> predict at a NON-reference mesh size (201
+    nodes), with the observability flags live: the mesh-scaling claim
+    holds through the whole user surface (VERDICT r4 items 5+6), and the
+    structured metrics artifacts appear and parse."""
+    ds = str(tmp_path / "ds201.json")
+    r = run_cli("datagen", "--num-samples", "48", "--batch-size", "48",
+                "--num-nodes", "201", "--max-epochs", "10", "--refine",
+                "0", "--output", ds)
+    assert r.returncode == 0, r.stderr[-2000:]
+    data = json.load(open(ds))
+    assert len(data["I_values"][0]) == 200  # elements = nodes - 1
+
+    ck = str(tmp_path / "ckpt201")
+    jsonl = str(tmp_path / "metrics.jsonl")
+    tbdir = str(tmp_path / "tb")
+    r = run_cli("train", "--model", "fnn", "--data", ds, "--epochs", "3",
+                "--epochs-per-sync", "3", "--checkpoint", ck,
+                "--metrics-jsonl", jsonl, "--tensorboard", tbdir)
+    assert r.returncode == 0, r.stderr[-2000:]
+    # metrics JSONL: one parseable entry per epoch with both losses
+    entries = [json.loads(line) for line in open(jsonl)]
+    assert len(entries) == 3
+    assert all("train_loss" in e and "val_loss" in e and "step" in e
+               for e in entries)
+    # TensorBoard: an events file with content appeared
+    evts = [f for f in os.listdir(tbdir) if "tfevents" in f]
+    assert evts and os.path.getsize(os.path.join(tbdir, evts[0])) > 0
+
+    r = run_cli("predict", "--model", "fnn", "--checkpoint", ck,
+                "--preproc", ck + "_preproc.npz")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "mesh: 200 elements" in r.stdout
     assert "predicted I" in r.stdout
 
 

@@ -20,9 +20,14 @@ def test_preprocessing_roundtrip_and_user_input(tmp_path):
                             opt_cfg=FAST_OPT)
     ds = prepare_dataset(data, n_cases=6, nheads_pad=8)
     p = str(tmp_path / "pre.npz")
-    save_preprocessing(ds, p)
+    save_preprocessing(ds, p, nelem=100)
     pre = load_preprocessing(p)
     assert pre["n_cases"] == 6
+    assert pre["nelem"] == 100
+    # pre-round-5 files without nelem load with nelem=None (caller falls
+    # back to the reference's 100-element mesh)
+    save_preprocessing(ds, p)
+    assert load_preprocessing(p)["nelem"] is None
     assert pre["feat_dim"] == ds.feat_dim
     assert pre["label_dim"] == ds.label_dim
     for name, sc in pre["scalers"].items():
