@@ -55,6 +55,11 @@ def _add_frame_opt(sub):
     p.add_argument("--mesh", action="store_true",
                    help="with --batch/--dataset: shard scenarios over "
                         "local devices")
+    p.add_argument("--chunk-size", type=int, default=None,
+                   help="with --batch/--dataset: run lanes in sequential "
+                        "chunks of this size (per shard) to bound peak "
+                        "HBM on large topology x batch products — a "
+                        "30x30 grid at B=512 exhausts a v5e otherwise")
 
 
 def _add_datagen(sub):
@@ -246,7 +251,7 @@ def cmd_frame_opt(args):
             bays_range=(args.bays, args.bays) if args.bays else (1, 10),
             stories_range=(args.stories, args.stories)
             if args.stories else (1, 10),
-            mesh=mesh, verbose=True,
+            mesh=mesh, verbose=True, chunk_size=args.chunk_size,
         )
         dt = time.time() - t0
         topos = sorted(set(zip(data["num_bays"], data["num_stories"])))
@@ -271,7 +276,7 @@ def cmd_frame_opt(args):
         t0 = time.time()
         st, batch = generate_frame_batch(
             jax.random.PRNGKey(args.seed), args.batch, bays, stories, cfg,
-            mesh=mesh,
+            mesh=mesh, chunk_size=args.chunk_size,
         )
         valid = int(np.asarray(batch.valid).sum())
         dt = time.time() - t0

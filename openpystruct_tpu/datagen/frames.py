@@ -5,7 +5,8 @@ The reference's frame script optimizes exactly ONE random frame per run
 (random 1-10 bays x 1-10 stories, fixed loads,
 OpenPyStruct_FrameOpt_Discrete_Beta.py:50-52,166-206) and has no dataset
 story at all.  Here a whole batch of load scenarios optimizes in one XLA
-program per topology — the (B, 3N, 3N) dense LU batches onto the MXU —
+program per topology — batched story-level block-Cholesky factorizations
+(fem/frame_banded.py; ``method="dense"`` keeps the (B, 3N, 3N) MXU LU) —
 optionally sharded over a device mesh, with columnar output mirroring the
 beam schema's spirit.
 
@@ -59,7 +60,8 @@ def sample_frame_loads(key, batch: int, cfg: FrameConfig = FrameConfig(),
 def _make_frame_batch_fn(num_bays: int, num_stories: int,
                          cfg: FrameConfig,
                          mesh: Optional[jax.sharding.Mesh],
-                         data_axis: str):
+                         data_axis: str,
+                         chunk_size: Optional[int] = None):
     from openpystruct_tpu.fem.frame_banded import (
         FRAME_VALID_PIVOT,
         frame_min_pivot,
@@ -69,16 +71,30 @@ def _make_frame_batch_fn(num_bays: int, num_stories: int,
     structure = build_frame(num_bays, num_stories, cfg)
 
     def batch_fn(udl, lateral):
-        res = optimize_frame_batched(structure, udl, lateral, cfg)
+        res = optimize_frame_batched(structure, udl, lateral, cfg,
+                                     chunk_size=chunk_size)
         finite = jnp.all(jnp.isfinite(res.I), axis=-1) & jnp.all(
             jnp.isfinite(res.solution.displacements), axis=(-2, -1)
         )
         # accuracy-grade validity: the scaled Schur pivot of the FINAL
         # system (one extra factorization per lane; a NaN pivot compares
         # False and drops the lane) — VERDICT r4 weak #1
-        pivot = jax.vmap(
+        pivot_fn = jax.vmap(
             lambda i: frame_min_pivot(i, structure, cfg, jnp.float32)
-        )(res.I)
+        )
+        if chunk_size is None or chunk_size >= res.I.shape[0]:
+            pivot = pivot_fn(res.I)
+        else:
+            # same HBM bound as the optimizer chunks: the pivot pass
+            # re-factors every lane, so stream it in the same chunk size
+            pad = (-res.I.shape[0]) % chunk_size
+            I_p = jnp.concatenate(
+                [res.I, jnp.broadcast_to(
+                    res.I[:1], (pad,) + res.I.shape[1:])]
+            ) if pad else res.I
+            pivot = jax.lax.map(
+                pivot_fn, I_p.reshape((-1, chunk_size) + res.I.shape[1:])
+            ).reshape(-1)[: res.I.shape[0]]
         valid = finite & (pivot > FRAME_VALID_PIVOT)
         return FrameBatch(
             udl=udl, lateral_load=lateral, result=res, valid=valid,
@@ -105,11 +121,16 @@ def generate_frame_batch(
     load_scale=(0.5, 1.5),
     mesh: Optional[jax.sharding.Mesh] = None,
     data_axis: str = "data",
+    chunk_size: Optional[int] = None,
 ):
     """Optimize ``batch_size`` load scenarios of one frame topology in a
-    single program.  Returns (FrameStructure, FrameBatch)."""
+    single program.  Returns (FrameStructure, FrameBatch).
+
+    ``chunk_size`` (per shard when ``mesh`` is set) serializes lanes into
+    fixed-size ``lax.map`` chunks to bound peak HBM on very large
+    topology x batch products — see ``optimize_frame_batched``."""
     structure, fn = _make_frame_batch_fn(
-        num_bays, num_stories, cfg, mesh, data_axis
+        num_bays, num_stories, cfg, mesh, data_axis, chunk_size
     )
     udl, lateral = sample_frame_loads(key, batch_size, cfg, load_scale)
     if mesh is not None:
@@ -146,6 +167,7 @@ def generate_frame_dataset(
     data_axis: str = "data",
     min_bucket: int = 8,
     verbose: bool = False,
+    chunk_size: Optional[int] = None,
 ) -> dict:
     """Mixed-topology frame dataset in ONE call: topology is drawn per
     sample from the reference's 1-10 x 1-10 distribution
@@ -178,7 +200,7 @@ def generate_frame_dataset(
         sub_key = jax.random.fold_in(kload, b * 64 + s)
         st, batch = generate_frame_batch(
             sub_key, bucket, b, s, cfg, load_scale, mesh=mesh,
-            data_axis=data_axis,
+            data_axis=data_axis, chunk_size=chunk_size,
         )
         # padding lanes (drawn only to keep shapes power-of-two) are
         # dropped via the valid mask the columnar writer already honors

@@ -158,17 +158,26 @@ def optimize_frame_batched(
     grad_mode: str = "semi",
     dtype=jnp.float32,
     method: str = "auto",
+    chunk_size: Optional[int] = None,
 ) -> FrameOptResult:
     """Batched frame optimization: one topology, ``B`` load scenarios.
 
     The TPU-first frame driver the reference has no analog of (its frame
     script optimizes exactly one random frame serially,
     OpenPyStruct_FrameOpt_Discrete_Beta.py:166-206): ``udl`` and
-    ``lateral_load`` are (B,) per-scenario loads, the dense per-lane
-    systems batch into one (B, 3N, 3N) LU on the MXU, and each lane
-    carries its own early-stopping state (converged lanes freeze under
-    the shared while_loop, exactly like ``vmap`` semantics — because it
-    IS vmap of the single-scenario loop).
+    ``lateral_load`` are (B,) per-scenario loads, the per-lane systems
+    batch into one banded block-Cholesky factorization per iteration
+    (``fem.frame_banded``; ``method="dense"`` keeps the (B, 3N, 3N)
+    MXU LU), and each lane carries its own early-stopping state
+    (converged lanes freeze under the shared while_loop, exactly like
+    ``vmap`` semantics — because it IS vmap of the single-scenario
+    loop).
+
+    ``chunk_size`` bounds peak HBM at large topology x batch products
+    (a 30x30 grid at B=512 exhausts a v5e's HBM): lanes run in
+    sequential ``lax.map`` chunks of that size, trading wall-clock
+    serialization for a fixed working set.  ``None`` (default) runs the
+    whole batch as one program.
 
     Topology is static (index arrays fix the trace), so batches group by
     (bays, stories); jit wrappers cache per topology shape.
@@ -176,11 +185,35 @@ def optimize_frame_batched(
     B = jnp.shape(udl)[0]
     if I0 is None:
         I0 = jnp.full((B, structure.num_elems), cfg.I0, dtype)
+    udl = jnp.asarray(udl, dtype)
+    lateral_load = jnp.asarray(lateral_load, dtype)
 
-    return jax.vmap(
+    run = jax.vmap(
         lambda I0_, w, p: optimize_frame(
             structure, cfg, I0=I0_, lr=lr, alpha_moment=alpha_moment,
             alpha_shear=alpha_shear, grad_mode=grad_mode, dtype=dtype,
             udl=w, lateral_load=p, method=method,
         )
-    )(I0, jnp.asarray(udl, dtype), jnp.asarray(lateral_load, dtype))
+    )
+
+    if chunk_size is None or chunk_size >= B:
+        return run(I0, udl, lateral_load)
+    if chunk_size < 1:
+        raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
+
+    # Pad B up to a chunk multiple with copies of lane 0 (any solvable
+    # load works — padding lanes are sliced off below), then lax.map over
+    # (num_chunks, chunk_size) so chunks execute strictly sequentially:
+    # peak live memory is one chunk's working set, not the whole batch's.
+    pad = (-B) % chunk_size
+    edge = lambda a: jnp.concatenate(
+        [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])]
+    ) if pad else a
+    split = lambda a: a.reshape((-1, chunk_size) + a.shape[1:])
+    res = jax.lax.map(
+        lambda args: run(*args),
+        (split(edge(I0)), split(edge(udl)), split(edge(lateral_load))),
+    )
+    return jax.tree.map(
+        lambda x: x.reshape((B + pad,) + x.shape[2:])[:B], res
+    )

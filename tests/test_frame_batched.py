@@ -54,6 +54,53 @@ def test_batched_matches_single():
     )
 
 
+def test_chunked_matches_unchunked():
+    """chunk_size serializes lanes into lax.map chunks (the HBM bound for
+    very large topology x batch); the trajectory must be identical,
+    including a chunk size that does not divide the batch (padding lanes
+    are sliced off)."""
+    cfg = FAST
+    structure = build_frame(2, 3, cfg)
+    udl, lat = sample_frame_loads(jax.random.PRNGKey(7), 5, cfg)
+    full = jax.jit(
+        lambda u, p: optimize_frame_batched(structure, u, p, cfg)
+    )(udl, lat)
+    for chunk in (2, 5, 8):
+        part = jax.jit(
+            lambda u, p: optimize_frame_batched(
+                structure, u, p, cfg, chunk_size=chunk
+            )
+        )(udl, lat)
+        # different batch shapes can vectorize reductions differently, so
+        # match the batched-vs-single tolerance rather than bitwise
+        np.testing.assert_allclose(
+            np.asarray(full.I), np.asarray(part.I), rtol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(full.n_epochs), np.asarray(part.n_epochs)
+        )
+
+    # the datagen wrapper threads chunk_size through (incl. the chunked
+    # pivot pass) and keeps validity/pivot identical
+    _, b_full = generate_frame_batch(
+        jax.random.PRNGKey(9), 6, num_bays=2, num_stories=2, cfg=cfg
+    )
+    _, b_chunk = generate_frame_batch(
+        jax.random.PRNGKey(9), 6, num_bays=2, num_stories=2, cfg=cfg,
+        chunk_size=4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(b_full.result.I), np.asarray(b_chunk.result.I),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(b_full.pivot), np.asarray(b_chunk.pivot), rtol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(b_full.valid), np.asarray(b_chunk.valid)
+    )
+
+
 def test_generate_frame_batch_and_columnar():
     structure, batch = generate_frame_batch(
         jax.random.PRNGKey(0), 8, num_bays=3, num_stories=2, cfg=FAST
