@@ -58,8 +58,9 @@ def _add_frame_opt(sub):
     p.add_argument("--chunk-size", type=int, default=None,
                    help="with --batch/--dataset: run lanes in sequential "
                         "chunks of this size (per shard) to bound peak "
-                        "HBM on large topology x batch products — a "
-                        "30x30 grid at B=512 exhausts a v5e otherwise")
+                        "HBM on large topology x batch products "
+                        "(measured: 30x30 at B=512 runs with chunks "
+                        "of 256 on one v5e)")
 
 
 def _add_datagen(sub):

@@ -142,6 +142,76 @@ def _chol_unrolled(A):
     return jnp.stack(cols, axis=-1)
 
 
+# Level width above which the panel-blocked Cholesky replaces the fully
+# unrolled one: the unrolled form's PROGRAM SIZE grows linearly with m
+# (m sequential rank-1 updates on (m, m) slabs), which at 30x30 grids
+# (m = 93) costs ~160 s of XLA compile per topology; the blocked form
+# keeps the program O(panel) and puts the trailing update on the MXU.
+# At reference widths (m <= 36) the unrolled form stays — it is 47x
+# XLA's cholesky there and compiles instantly.
+_CHOL_BLOCK_MIN_WIDTH = 49
+_CHOL_PANEL = 16
+
+
+def _chol_blocked(A, panel=_CHOL_PANEL):
+    """Lower-Cholesky of one (m, m) SPD block by right-looking panel
+    factorization: per panel, an unrolled ``panel x panel`` factor, one
+    triangular panel solve, and one (m, panel) x (panel, m) rank-panel
+    Schur update — a real matmul the MXU tiles, unlike the unrolled
+    form's m rank-1 VPU updates.  ``lax.fori_loop`` over panels keeps
+    the compiled program O(panel) in size regardless of m.
+
+    m is padded to a multiple of ``panel`` with an identity diagonal
+    (pivot 1, no coupling), so any static m works.  A non-positive pivot
+    produces NaN via ``rsqrt`` and the rank-panel update propagates it
+    to every later entry — the same failure signal as ``_chol_unrolled``.
+    """
+    m = A.shape[-1]
+    mp = ((m + panel - 1) // panel) * panel
+    if mp != m:
+        pad = mp - m
+        A = jnp.pad(A, ((0, pad), (0, pad)))
+        A = A.at[jnp.arange(m, mp), jnp.arange(m, mp)].set(1.0)
+    idxp = jnp.arange(panel)
+    rows = jnp.arange(mp)
+
+    def small_chol(Ablk):
+        cols = []
+        for j in range(panel):
+            d = jax.lax.rsqrt(Ablk[j, j])
+            col = Ablk[:, j] * d * (idxp >= j).astype(Ablk.dtype)
+            Ablk = Ablk - col[:, None] * col[None, :]
+            cols.append(col)
+        return jnp.stack(cols, axis=-1)
+
+    def body(i, carry):
+        A, L = carry
+        k = i * panel
+        L11 = small_chol(jax.lax.dynamic_slice(A, (k, k), (panel, panel)))
+        strip = jax.lax.dynamic_slice(A, (0, k), (mp, panel))
+        # X = strip @ L11^{-T}: rows below the panel become L21
+        X = jax.lax.linalg.triangular_solve(
+            L11, strip, left_side=False, lower=True, transpose_a=True
+        )
+        X21 = X * (rows >= k + panel).astype(A.dtype)[:, None]
+        A = A - jnp.einsum("ik,jk->ij", X21, X21, precision=_HI)
+        colblk = jax.lax.dynamic_update_slice(X21, L11, (k, 0))
+        L = jax.lax.dynamic_update_slice(L, colblk, (0, k))
+        return A, L
+
+    _, L = jax.lax.fori_loop(
+        0, mp // panel, body, (A, jnp.zeros_like(A))
+    )
+    return L[:m, :m]
+
+
+def _chol(A):
+    """Static-shape dispatch between the two Cholesky forms."""
+    if A.shape[-1] >= _CHOL_BLOCK_MIN_WIDTH:
+        return _chol_blocked(A)
+    return _chol_unrolled(A)
+
+
 def block_thomas_solve(D, U, f):
     """Solve the block-tridiagonal system (D, U symmetric layout) by
     block-Thomas with CHOLESKY level factors: forward Schur elimination
@@ -170,7 +240,7 @@ def block_thomas_solve(D, U, f):
     def chol_solve(C, r):
         return triT(C, tri(C, r[:, None]))[:, 0]
 
-    C0 = _chol_unrolled(D[0])
+    C0 = _chol(D[0])
     if Lv == 1:
         x = chol_solve(C0, f[0])[None]
         return x, jnp.min(jnp.diagonal(C0)) ** 2
@@ -184,7 +254,7 @@ def block_thomas_solve(D, U, f):
         G, h = X[:, :m], X[:, m]
         S_i = D_i - jnp.einsum("ji,jk->ik", G, G, precision=_HI)
         y_i = f_i - jnp.einsum("ji,j->i", G, h, precision=_HI)
-        C_i = _chol_unrolled(S_i)
+        C_i = _chol(S_i)
         return (C_i, y_i), (C_i, y_i)
 
     _, (Cs, ys) = jax.lax.scan(fwd, (C0, f[0]), (D[1:], U, f[1:]))

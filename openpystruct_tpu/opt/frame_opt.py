@@ -174,7 +174,8 @@ def optimize_frame_batched(
     loop).
 
     ``chunk_size`` bounds peak HBM at large topology x batch products
-    (a 30x30 grid at B=512 exhausts a v5e's HBM): lanes run in
+    (a 30x30 grid at B=512 exhausts a v5e under the dense method; the
+    banded solver at that scale wants chunks <= ~256): lanes run in
     sequential ``lax.map`` chunks of that size, trading wall-clock
     serialization for a fixed working set.  ``None`` (default) runs the
     whole batch as one program.

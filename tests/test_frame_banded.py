@@ -187,3 +187,43 @@ def test_frame_datagen_valid_uses_pivot():
     # real optimized lanes sit ~2 decades above the threshold (measured)
     assert v.all()
     assert (p > 0.05).all()
+
+
+class TestBlockedCholesky:
+    """Panel-blocked level factor (round 5): above _CHOL_BLOCK_MIN_WIDTH
+    the fully unrolled Cholesky's program size (m sequential rank-1
+    updates) costs minutes of XLA compile per topology; the blocked form
+    must be numerically identical and carry the same NaN failure signal."""
+
+    def test_matches_numpy_all_widths(self):
+        from openpystruct_tpu.fem.frame_banded import _chol_blocked
+        rng = np.random.default_rng(1)
+        for m in (7, 16, 21, 48, 63, 93):   # incl. non-multiples of panel
+            A = rng.standard_normal((m, m))
+            A = A @ A.T + m * np.eye(m)
+            Lb = np.asarray(_chol_blocked(jnp.asarray(A)))
+            Lu = np.linalg.cholesky(A)
+            np.testing.assert_allclose(Lb, Lu, atol=1e-12 * np.abs(Lu).max())
+
+    def test_non_spd_propagates_nan(self):
+        from openpystruct_tpu.fem.frame_banded import _chol_blocked
+        A = np.eye(21)
+        A[17, 17] = -1.0                    # in the last (padded) panel
+        L = np.asarray(_chol_blocked(jnp.asarray(A)))
+        assert np.isnan(L[17, 17])
+
+    def test_wide_level_solve_matches_dense(self):
+        # 20x0 "slab" topology: one story level of width m = 63 forces the
+        # blocked path through the full banded solve machinery
+        cfg = FrameConfig()
+        st = build_frame(20, 2, cfg)
+        assert 3 * (st.num_bays + 1) >= 49   # blocked dispatch engaged
+        I = _rand_I(st, np.random.default_rng(7))
+        dense = solve_frame(I, st, cfg, jnp.float64, method="dense")
+        banded, piv = solve_frame_banded(I, st, cfg, jnp.float64)
+        scale = float(jnp.max(jnp.abs(dense.displacements)))
+        np.testing.assert_allclose(
+            np.asarray(banded.displacements),
+            np.asarray(dense.displacements), atol=1e-10 * scale,
+        )
+        assert float(piv) > FRAME_VALID_PIVOT
