@@ -61,6 +61,12 @@ def _add_frame_opt(sub):
                         "HBM on large topology x batch products "
                         "(measured: 30x30 at B=512 runs with chunks "
                         "of 256 on one v5e)")
+    p.add_argument("--grad-mode", choices=["semi", "adjoint"],
+                   default="semi",
+                   help="semi = reference semantics (loss gradient at "
+                        "frozen force fields); adjoint = exact gradient "
+                        "through the solve (implicit adjoint reusing the "
+                        "banded factors)")
 
 
 def _add_datagen(sub):
@@ -253,6 +259,7 @@ def cmd_frame_opt(args):
             stories_range=(args.stories, args.stories)
             if args.stories else (1, 10),
             mesh=mesh, verbose=True, chunk_size=args.chunk_size,
+            grad_mode=args.grad_mode,
         )
         dt = time.time() - t0
         topos = sorted(set(zip(data["num_bays"], data["num_stories"])))
@@ -278,6 +285,7 @@ def cmd_frame_opt(args):
         st, batch = generate_frame_batch(
             jax.random.PRNGKey(args.seed), args.batch, bays, stories, cfg,
             mesh=mesh, chunk_size=args.chunk_size,
+            grad_mode=args.grad_mode,
         )
         valid = int(np.asarray(batch.valid).sum())
         dt = time.time() - t0
@@ -291,7 +299,8 @@ def cmd_frame_opt(args):
         return
     st = build_frame(bays, stories, cfg)
     t0 = time.time()
-    res = jax.jit(lambda: optimize_frame(st, cfg, record_history=True))()
+    res = jax.jit(lambda: optimize_frame(
+        st, cfg, record_history=True, grad_mode=args.grad_mode))()
     ne = int(res.n_epochs)
     h = np.asarray(res.loss_history)
     print(f"converged={bool(res.converged)} epochs={ne} "

@@ -61,7 +61,8 @@ def _make_frame_batch_fn(num_bays: int, num_stories: int,
                          cfg: FrameConfig,
                          mesh: Optional[jax.sharding.Mesh],
                          data_axis: str,
-                         chunk_size: Optional[int] = None):
+                         chunk_size: Optional[int] = None,
+                         grad_mode: str = "semi"):
     from openpystruct_tpu.fem.frame_banded import (
         FRAME_VALID_PIVOT,
         frame_min_pivot,
@@ -72,7 +73,8 @@ def _make_frame_batch_fn(num_bays: int, num_stories: int,
 
     def batch_fn(udl, lateral):
         res = optimize_frame_batched(structure, udl, lateral, cfg,
-                                     chunk_size=chunk_size)
+                                     chunk_size=chunk_size,
+                                     grad_mode=grad_mode)
         finite = jnp.all(jnp.isfinite(res.I), axis=-1) & jnp.all(
             jnp.isfinite(res.solution.displacements), axis=(-2, -1)
         )
@@ -122,15 +124,22 @@ def generate_frame_batch(
     mesh: Optional[jax.sharding.Mesh] = None,
     data_axis: str = "data",
     chunk_size: Optional[int] = None,
+    grad_mode: str = "semi",
 ):
     """Optimize ``batch_size`` load scenarios of one frame topology in a
     single program.  Returns (FrameStructure, FrameBatch).
 
     ``chunk_size`` (per shard when ``mesh`` is set) serializes lanes into
     fixed-size ``lax.map`` chunks to bound peak HBM on very large
-    topology x batch products — see ``optimize_frame_batched``."""
+    topology x batch products — see ``optimize_frame_batched``.
+
+    ``grad_mode="adjoint"`` differentiates the loss THROUGH the solve
+    (exact gradient — one extra substitution-only adjoint solve via
+    ``block_thomas_solve``'s implicit custom_vjp) instead of the
+    reference's semi-gradient (loss gradient at frozen force fields,
+    FrameOpt_Discrete_Beta.py:197-199)."""
     structure, fn = _make_frame_batch_fn(
-        num_bays, num_stories, cfg, mesh, data_axis, chunk_size
+        num_bays, num_stories, cfg, mesh, data_axis, chunk_size, grad_mode
     )
     udl, lateral = sample_frame_loads(key, batch_size, cfg, load_scale)
     if mesh is not None:
@@ -168,6 +177,7 @@ def generate_frame_dataset(
     min_bucket: int = 8,
     verbose: bool = False,
     chunk_size: Optional[int] = None,
+    grad_mode: str = "semi",
 ) -> dict:
     """Mixed-topology frame dataset in ONE call: topology is drawn per
     sample from the reference's 1-10 x 1-10 distribution
@@ -201,6 +211,7 @@ def generate_frame_dataset(
         st, batch = generate_frame_batch(
             sub_key, bucket, b, s, cfg, load_scale, mesh=mesh,
             data_axis=data_axis, chunk_size=chunk_size,
+            grad_mode=grad_mode,
         )
         # padding lanes (drawn only to keep shapes power-of-two) are
         # dropped via the valid mask the columnar writer already honors

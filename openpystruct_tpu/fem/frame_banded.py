@@ -212,6 +212,103 @@ def _chol(A):
     return _chol_unrolled(A)
 
 
+def _tri(C, r):
+    return jax.lax.linalg.triangular_solve(
+        C, r, lower=True, transpose_a=False, left_side=True
+    )
+
+
+def _triT(C, r):
+    return jax.lax.linalg.triangular_solve(
+        C, r, lower=True, transpose_a=True, left_side=True
+    )
+
+
+def _chol_vec_solve(C, r):
+    """S⁻¹ r from the Cholesky factor C (two vector triangular sweeps)."""
+    return _triT(C, _tri(C, r[:, None]))[:, 0]
+
+
+def _thomas_impl(D, U, f):
+    """Block-Thomas factor-and-solve; returns ``(x, min_pivot, Cs)`` where
+    ``Cs`` are the (L, m, m) per-level Schur Cholesky factors — kept so
+    the implicit adjoint and iterative refinement can substitute without
+    re-factoring."""
+    Lv, m = f.shape
+
+    C0 = _chol(D[0])
+    if Lv == 1:
+        x = _chol_vec_solve(C0, f[0])[None]
+        return x, jnp.min(jnp.diagonal(C0)) ** 2, C0[None]
+
+    def fwd(carry, inp):
+        C_p, y_p = carry
+        D_i, U_prev, f_i = inp
+        # one triangular solve against [U_prev | y_prev] gives both the
+        # Schur update (S = D - GᵀG, G = C⁻¹U) and the forward RHS
+        X = _tri(C_p, jnp.concatenate([U_prev, y_p[:, None]], axis=1))
+        G, h = X[:, :m], X[:, m]
+        S_i = D_i - jnp.einsum("ji,jk->ik", G, G, precision=_HI)
+        y_i = f_i - jnp.einsum("ji,j->i", G, h, precision=_HI)
+        C_i = _chol(S_i)
+        return (C_i, y_i), (C_i, y_i)
+
+    _, (Cs, ys) = jax.lax.scan(fwd, (C0, f[0]), (D[1:], U, f[1:]))
+    Cs = jnp.concatenate([C0[None], Cs])
+    ys = jnp.concatenate([f[0][None], ys])
+
+    x_last = _chol_vec_solve(Cs[-1], ys[-1])
+
+    def bwd(x_next, inp):
+        C_i, y_i, U_i = inp
+        x_i = _chol_vec_solve(
+            C_i, y_i - jnp.einsum("ij,j->i", U_i, x_next, precision=_HI)
+        )
+        return x_i, x_i
+
+    _, xs = jax.lax.scan(
+        bwd, x_last, (Cs[:-1], ys[:-1], U), reverse=True
+    )
+    x = jnp.concatenate([xs, x_last[None]], axis=0)
+    min_pivot = jnp.min(jnp.diagonal(Cs, axis1=-2, axis2=-1)) ** 2
+    return x, min_pivot, Cs
+
+
+def thomas_substitute(Cs, U, b):
+    """Solve K x = b from SAVED factors (substitution only, O(L·m²)):
+    forward Schur RHS sweep ``y_i = b_i - U_{i-1}ᵀ S_{i-1}⁻¹ y_{i-1}``
+    then the standard backward sweep.  This is what makes the implicit
+    adjoint and refinement sweeps factorization-free."""
+    Lv = b.shape[0]
+    if Lv == 1:
+        return _chol_vec_solve(Cs[0], b[0])[None]
+
+    def fwd(y_p, inp):
+        C_p, U_prev, b_i = inp
+        y_i = b_i - jnp.einsum(
+            "ji,j->i", U_prev, _chol_vec_solve(C_p, y_p), precision=_HI
+        )
+        return y_i, y_i
+
+    _, ys = jax.lax.scan(fwd, b[0], (Cs[:-1], U, b[1:]))
+    ys = jnp.concatenate([b[0][None], ys])
+
+    x_last = _chol_vec_solve(Cs[-1], ys[-1])
+
+    def bwd(x_next, inp):
+        C_i, y_i, U_i = inp
+        x_i = _chol_vec_solve(
+            C_i, y_i - jnp.einsum("ij,j->i", U_i, x_next, precision=_HI)
+        )
+        return x_i, x_i
+
+    _, xs = jax.lax.scan(
+        bwd, x_last, (Cs[:-1], ys[:-1], U), reverse=True
+    )
+    return jnp.concatenate([xs, x_last[None]], axis=0)
+
+
+@jax.custom_vjp
 def block_thomas_solve(D, U, f):
     """Solve the block-tridiagonal system (D, U symmetric layout) by
     block-Thomas with CHOLESKY level factors: forward Schur elimination
@@ -228,54 +325,39 @@ def block_thomas_solve(D, U, f):
     Returns ``(x, min_pivot)`` where ``min_pivot`` is the smallest squared
     Cholesky diagonal over every level — the Schur pivots; on a
     Jacobi-scaled system this is the singularity/conditioning diagnostic
-    (beam analog: ``block_tridiag_min_pivot``)."""
-    import functools as _ft
+    (beam analog: ``block_tridiag_min_pivot``).
 
-    Lv, m = f.shape
-    tri = _ft.partial(jax.lax.linalg.triangular_solve, lower=True,
-                      transpose_a=False, left_side=True)
-    triT = _ft.partial(jax.lax.linalg.triangular_solve, lower=True,
-                       transpose_a=True, left_side=True)
+    Gradient: IMPLICIT adjoint (the frame counterpart of the beam's
+    ``fem.solve._solve`` custom_vjp) — K is symmetric, so the adjoint
+    system K λ = x̄ reuses the forward factors and the backward pass is
+    substitution-only, instead of reverse-AD through the factorization
+    (which would save every intermediate of the per-level Cholesky chain,
+    O(L·m³) residuals).  ``min_pivot`` is a diagnostic and is defined
+    non-differentiable (its cotangent is ignored)."""
+    x, piv, _ = _thomas_impl(D, U, f)
+    return x, piv
 
-    def chol_solve(C, r):
-        return triT(C, tri(C, r[:, None]))[:, 0]
 
-    C0 = _chol(D[0])
-    if Lv == 1:
-        x = chol_solve(C0, f[0])[None]
-        return x, jnp.min(jnp.diagonal(C0)) ** 2
+def _thomas_fwd(D, U, f):
+    x, piv, Cs = _thomas_impl(D, U, f)
+    return (x, piv), (U, x, Cs)
 
-    def fwd(carry, inp):
-        C_p, y_p = carry
-        D_i, U_prev, f_i = inp
-        # one triangular solve against [U_prev | y_prev] gives both the
-        # Schur update (S = D - GᵀG, G = C⁻¹U) and the forward RHS
-        X = tri(C_p, jnp.concatenate([U_prev, y_p[:, None]], axis=1))
-        G, h = X[:, :m], X[:, m]
-        S_i = D_i - jnp.einsum("ji,jk->ik", G, G, precision=_HI)
-        y_i = f_i - jnp.einsum("ji,j->i", G, h, precision=_HI)
-        C_i = _chol(S_i)
-        return (C_i, y_i), (C_i, y_i)
 
-    _, (Cs, ys) = jax.lax.scan(fwd, (C0, f[0]), (D[1:], U, f[1:]))
-    Cs = jnp.concatenate([C0[None], Cs])
-    ys = jnp.concatenate([f[0][None], ys])
-
-    x_last = chol_solve(Cs[-1], ys[-1])
-
-    def bwd(x_next, inp):
-        C_i, y_i, U_i = inp
-        x_i = chol_solve(
-            C_i, y_i - jnp.einsum("ij,j->i", U_i, x_next, precision=_HI)
-        )
-        return x_i, x_i
-
-    _, xs = jax.lax.scan(
-        bwd, x_last, (Cs[:-1], ys[:-1], U), reverse=True
+def _thomas_bwd(res, cot):
+    U, x, Cs = res
+    x_bar, _piv_bar = cot  # pivot is a non-differentiable diagnostic
+    lam = thomas_substitute(Cs, U, x_bar)   # K λ = x̄ (K symmetric)
+    # dL/dK = -λ xᵀ restricted to the (D, U) block sparsity; the
+    # sub-diagonal Uᵀ usage folds into the symmetrized Ū term.
+    D_bar = -lam[:, :, None] * x[:, None, :]
+    U_bar = -(
+        lam[:-1, :, None] * x[1:, None, :]
+        + x[:-1, :, None] * lam[1:, None, :]
     )
-    x = jnp.concatenate([xs, x_last[None]], axis=0)
-    min_pivot = jnp.min(jnp.diagonal(Cs, axis1=-2, axis2=-1)) ** 2
-    return x, min_pivot
+    return D_bar, U_bar, lam
+
+
+block_thomas_solve.defvjp(_thomas_fwd, _thomas_bwd)
 
 
 def _scale_blocks(D, U, f):
@@ -342,12 +424,13 @@ def _checked_fns(num_bays: int, num_stories: int, cfg: FrameConfig,
     def one32(I, w, p):
         D, U, f, aux = frame_blocks(I, structure, cfg, jnp.float32, w, p)
         D_s, U_s, f_s, s = _scale_blocks(D, U, f)
-        x, piv = block_thomas_solve(D_s, U_s, f_s)
+        # factor ONCE; refinement sweeps substitute from the saved factors
+        x, piv, Cs = _thomas_impl(D_s, U_s, f_s)
         xnorm = jnp.max(jnp.abs(x)) + 1e-30
         est = jnp.asarray(jnp.inf, jnp.float32)
         for _ in range(refine_max):
             r = f_s - block_matvec(D_s, U_s, x)
-            e, _ = block_thomas_solve(D_s, U_s, r)
+            e = thomas_substitute(Cs, U_s, r)
             e_new = jnp.max(jnp.abs(e)) / xnorm
             # freeze on divergence, like the beam autopilot
             x = jnp.where(e_new < est, x + e, x)

@@ -227,3 +227,67 @@ class TestBlockedCholesky:
             np.asarray(dense.displacements), atol=1e-10 * scale,
         )
         assert float(piv) > FRAME_VALID_PIVOT
+
+
+class TestImplicitAdjoint:
+    """block_thomas_solve's custom_vjp (round 5): the frame system is
+    symmetric, so the adjoint solve must reuse the forward factors
+    (substitution-only) and match reverse-AD through the dense path."""
+
+    @pytest.mark.parametrize("bays,stories", [(3, 4), (20, 2)])
+    def test_grad_wrt_I_matches_dense(self, bays, stories):
+        # (20, 2) puts m = 63 >= 49 through the blocked-Cholesky dispatch
+        cfg = FrameConfig()
+        st = build_frame(bays, stories, cfg)
+        I = _rand_I(st, np.random.default_rng(11)).astype(jnp.float64)
+
+        def loss_banded(I):
+            sol, _ = solve_frame_banded(I, st, cfg, jnp.float64)
+            return jnp.sum(sol.displacements**2) + jnp.sum(
+                sol.end_forces[:, 1] ** 2) * 1e-12
+
+        def loss_dense(I):
+            sol = solve_frame(I, st, cfg, jnp.float64, method="dense")
+            return jnp.sum(sol.displacements**2) + jnp.sum(
+                sol.end_forces[:, 1] ** 2) * 1e-12
+
+        gb = np.asarray(jax.jit(jax.grad(loss_banded))(I))
+        gd = np.asarray(jax.jit(jax.grad(loss_dense))(I))
+        np.testing.assert_allclose(gb, gd, rtol=1e-8,
+                                   atol=1e-10 * np.abs(gd).max())
+
+    def test_grad_wrt_loads_matches_dense(self):
+        cfg = FrameConfig()
+        st = build_frame(3, 4, cfg)
+        I = _rand_I(st, np.random.default_rng(5)).astype(jnp.float64)
+        w0 = jnp.asarray(cfg.udl, jnp.float64)
+        p0 = jnp.asarray(cfg.lateral_load, jnp.float64)
+
+        def loss(w, p, method):
+            sol = solve_frame(I, st, cfg, jnp.float64, udl=w,
+                              lateral_load=p, method=method)
+            return jnp.sum(sol.displacements**2)
+
+        gb = jax.jit(jax.grad(loss, argnums=(0, 1)),
+                     static_argnums=2)(w0, p0, "banded")
+        gd = jax.jit(jax.grad(loss, argnums=(0, 1)),
+                     static_argnums=2)(w0, p0, "dense")
+        for b, d in zip(gb, gd):
+            np.testing.assert_allclose(float(b), float(d), rtol=1e-9)
+
+    def test_adjoint_optimize_matches_dense_trajectory(self):
+        from openpystruct_tpu.opt.frame_opt import optimize_frame
+
+        cfg = dataclasses.replace(FrameConfig(), max_epochs=25,
+                                  patience=10**6)
+        st = build_frame(3, 3, cfg)
+        rb = jax.jit(lambda: optimize_frame(
+            st, cfg, grad_mode="adjoint", dtype=jnp.float64,
+            method="banded"))()
+        rd = jax.jit(lambda: optimize_frame(
+            st, cfg, grad_mode="adjoint", dtype=jnp.float64,
+            method="dense"))()
+        np.testing.assert_allclose(np.asarray(rb.I), np.asarray(rd.I),
+                                   rtol=1e-8)
+        assert np.isfinite(float(rb.loss.total))
+        assert float(jnp.min(rb.I)) >= 1e-8 - 1e-12

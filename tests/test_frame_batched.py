@@ -181,3 +181,19 @@ def test_generate_frame_dataset_mixed_topologies():
     # every sampled topology count is preserved (no silent drops beyond
     # the validity filter)
     assert len(set(map(tuple, data["I_values"][:5]))) > 1  # distinct rows
+
+
+def test_generate_frame_batch_adjoint_mode():
+    """grad_mode="adjoint" is a first-class frame datagen citizen (the
+    beam path got this in round 5's datagen CLI work): exact gradients
+    through the banded solve via the implicit custom_vjp, all lanes kept,
+    and a result that differs from (improves on) the semi trajectory."""
+    _, semi = generate_frame_batch(jax.random.PRNGKey(3), 8, 2, 2, FAST)
+    _, adj = generate_frame_batch(jax.random.PRNGKey(3), 8, 2, 2, FAST,
+                                  grad_mode="adjoint")
+    assert np.asarray(adj.valid).all()
+    # same loads, different gradient rule -> different optimized I
+    assert np.abs(
+        np.asarray(adj.result.I) - np.asarray(semi.result.I)
+    ).max() > 0
+    assert np.isfinite(np.asarray(adj.result.loss.total)).all()
